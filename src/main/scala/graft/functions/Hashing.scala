@@ -1,0 +1,230 @@
+package graft.functions
+
+/** Deterministic hashing / signature primitives.
+  *
+  * All pure functions of their inputs (no RNG state), so every stage is
+  * order-independent and embarrassingly parallel — signatures are computed
+  * with a single narrow map over the docs table, no shuffle.
+  *
+  * Reference analogs: SHA-1 chunk fingerprinting
+  * (/root/reference/src/dedup.c:80-88), rolling Adler-32 chunking
+  * (/root/reference/src/adler32.c:12-45), sax/sdbm bloom hashes
+  * (/root/reference/src/bloomfilter.c:14-28). We use splitmix64 — a
+  * published, public-domain mixer (Steele et al., "Fast Splittable
+  * Pseudorandom Number Generators", OOPSLA'14) — as the base 64-bit mixer
+  * because it is trivially reproducible in any engine.
+  */
+object Hashing {
+
+  /** splitmix64 finalizer: bijective 64-bit mixer. */
+  @inline def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit hash of a string (FNV-1a over UTF-8 bytes, then mixed).
+    * Stable across JVMs (does not use String.hashCode). */
+  def hashString(s: String, seed: Long = 0L): Long = {
+    var h = 0xCBF29CE484222325L ^ seed
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xFFL)
+      h *= 0x100000001B3L
+      i += 1
+    }
+    mix64(h)
+  }
+
+  /** Combine an existing hash with the next token hash (ordered). */
+  @inline def combine(h: Long, next: Long): Long =
+    mix64(h * 0x9E3779B97F4A7C15L + next)
+
+  // ---------------------------------------------------------------------
+  // Normalization + tokenization
+  // ---------------------------------------------------------------------
+
+  /** Lowercase + collapse runs of whitespace. Normalization must be
+    * identical across all detectors (recall parity requires identical
+    * shingle config, BASELINE.json north_rule). */
+  def normalize(text: String): String = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var lastWs = true
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (!lastWs) { sb.append(' '); lastWs = true }
+      } else {
+        sb.append(Character.toLowerCase(c)); lastWs = false
+      }
+      i += 1
+    }
+    // trim trailing single space
+    val n = sb.length
+    if (n > 0 && sb.charAt(n - 1) == ' ') sb.setLength(n - 1)
+    sb.toString
+  }
+
+  def tokens(text: String): Array[String] = {
+    val norm = normalize(text)
+    if (norm.isEmpty) Array.empty else norm.split(' ')
+  }
+
+  /** Hashes of all k-token shingles of `text` (deduplicated — shingle
+    * SETS, so Jaccard on hash sets equals Jaccard on shingle sets up to
+    * 64-bit collisions). Short docs (< k tokens) get one whole-doc
+    * shingle so they still carry a signature. */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val toks = tokens(text)
+    if (toks.isEmpty) return Array.empty
+    val n = math.max(1, toks.length - k + 1)
+    val set = new java.util.HashSet[Long](n * 2)
+    var i = 0
+    while (i < n) {
+      var h = 0x2545F4914F6CDD1DL
+      var j = i
+      val end = math.min(i + k, toks.length)
+      while (j < end) { h = combine(h, hashString(toks(j))); j += 1 }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  // ---------------------------------------------------------------------
+  // MinHash
+  // ---------------------------------------------------------------------
+
+  /** MinHash signature: numHashes permutations h_i(x) = mix64(x ^ seed_i),
+    * taking the min over the doc's shingle hash set. One pass over the
+    * shingles per doc; O(|shingles| * numHashes). Empty docs → all-MaxValue
+    * sentinel signature (never matches a non-empty doc's bands by
+    * accident because band hashing includes the band id). */
+  def minhashSignature(shingles: Array[Long], numHashes: Int, seed: Long): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val seeds = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) { seeds(i) = mix64(seed + i * 0x632BE59BD9B4E019L); i += 1 }
+    var s = 0
+    while (s < shingles.length) {
+      val x = shingles(s)
+      i = 0
+      while (i < numHashes) {
+        val h = mix64(x ^ seeds(i))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** Hash one LSH band (rows `[b*r, (b+1)*r)`) of a signature into a
+    * single 64-bit bucket key. Includes the band index so buckets from
+    * different bands never collide. */
+  def bandHash(sig: Array[Long], band: Int, rowsPerBand: Int): Long = {
+    var h = mix64(0x71E9F0327B2C1D4EL + band)
+    var j = band * rowsPerBand
+    val end = j + rowsPerBand
+    while (j < end) { h = combine(h, sig(j)); j += 1 }
+    h
+  }
+
+  /** Estimated Jaccard = fraction of equal signature components. */
+  def signatureJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var eq = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.length
+  }
+
+  /** Exact Jaccard over two sorted hash arrays (merge intersect). */
+  def exactJaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  // ---------------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------------
+
+  /** 64-bit SimHash: per-bit majority vote over the doc's shingle hashes
+    * (Charikar, STOC'02). */
+  def simhash(shingles: Array[Long]): Long = {
+    val counts = new Array[Int](64)
+    var s = 0
+    while (s < shingles.length) {
+      val h = shingles(s)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      s += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** The `blocks` equal-width bit blocks of a 64-bit simhash. Two hashes
+    * within Hamming distance < blocks share at least one exact block
+    * (pigeonhole) — the candidate-join key. */
+  def simhashBlocks(h: Long, blocks: Int): Array[Long] = {
+    val width = 64 / blocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    Array.tabulate(blocks)(i => ((h >>> (i * width)) & mask) | (i.toLong << 60))
+  }
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // ---------------------------------------------------------------------
+  // Long-substring anchors (suffix-array-pass analog, SURVEY.md §7.7)
+  // ---------------------------------------------------------------------
+
+  /** Winnowed anchor hashes of q-token grams: a q-gram is an anchor when
+    * its hash is 0 mod `sample`. Two docs sharing a ≥q-token substring
+    * share all its q-gram hashes, hence (with prob ≥ 1-(1-1/s)^(L-q+1))
+    * at least one anchor — the candidate-join key for the exact
+    * long-substring detector. Reference analog: content-defined chunk
+    * boundaries chosen by `(csum & MASK) == MASK`
+    * (/root/reference/src/chunk.c:91-96) — the same "content decides the
+    * cut points so copies align" idea, applied to token streams. */
+  def substringAnchors(text: String, q: Int, sample: Int): Array[Long] = {
+    val toks = tokens(text)
+    if (toks.length < q) return Array.empty
+    val th = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) { th(i) = hashString(toks(i)); i += 1 }
+    val set = new java.util.HashSet[Long]()
+    i = 0
+    while (i + q <= toks.length) {
+      var h = 0x1D8E4E27C47D124FL
+      var j = i
+      while (j < i + q) { h = combine(h, th(j)); j += 1 }
+      if ((h & (sample - 1)) == 0) set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    out
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+/** Core row types of the dedup engine.
+  *
+  * Input shape is fixed by the spec (BASELINE.json `input_hint`): an
+  * Iceberg-style table of multi-turn transcripts. Reference analogs are
+  * cited per type (see SURVEY.md §1.3 for the full mapping).
+  */
+
+/** One transcript turn — the unit of turn-level exact dedup.
+  * Reference analog: one chunk of a backup stream
+  * (/root/reference/include/config.h:53-56). */
+final case class Turn(
+    conv_id: String,
+    turn_idx: Int,
+    role: String,
+    text: String,
+    tool: String,
+    ts: Timestamp)
+
+/** A conversation assembled from its turns under stable
+  * (conv_id, turn_idx) order. Reference analog: a whole backup file
+  * replayed from its recipe (/root/reference/src/trace_work.c:141-222). */
+final case class Doc(
+    conv_id: String,
+    doc_text: String,
+    n_turns: Int,
+    ts_min: Timestamp)
+
+/** A candidate or confirmed duplicate pair between two documents.
+  * `detector` ∈ {exact, minhash, simhash, substring, embedding}.
+  * Reference analog: a fingerprint-index hit
+  * (/root/reference/src/dedup.c:129-147). */
+final case class DupPair(
+    doc_a: String,
+    doc_b: String,
+    detector: String,
+    score: Double)
+
+/** Final cluster assignment. `representative` is the first-occurrence
+  * member under the total order (ts_min, conv_id) — parity with the
+  * reference's first-writer-wins rule
+  * (/root/reference/src/dedup.c:150-173). */
+final case class ClusterAssign(
+    conv_id: String,
+    cluster_id: String,
+    representative: String,
+    is_representative: Boolean)
+
+/** Per-turn lineage row: which fingerprint each (conv_id, turn_idx) maps
+  * to and which cluster its conversation landed in. This is the engine's
+  * "recipe" (/root/reference/src/metadata.c:91-95): the restore path
+  * rebuilds the corpus from (lineage ⋈ unique turn store). */
+final case class LineageRow(
+    stage: String,
+    conv_id: String,
+    turn_idx: Int,
+    fp: Long,
+    cluster_id: String)
+
+/** Per-stage metrics row (reference analog: the running dedup counters,
+  * /root/reference/src/optsmr.c:316-332). */
+final case class StageMetrics(
+    stage: String,
+    rows_in: Long,
+    rows_out: Long,
+    dup_pairs: Long,
+    wall_ms: Long)
+
+/** All tunables of the pipeline, frozen so that recall comparisons run
+  * at an identical shingle/signature configuration (north_rule).
+  *
+  * Defaults: k=5 token shingles; 128 minhash permutations in 32 bands ×
+  * 4 rows (LSH threshold ≈ (1/32)^(1/4) ≈ 0.42 Jaccard — well below the
+  * 0.8+ near-dup target, so band recall is high); 64-bit SimHash with 4
+  * 16-bit blocks and Hamming radius 3; 32-token anchor q-grams for the
+  * long-substring detector.
+  */
+final case class DedupConfig(
+    shingleK: Int = 5,
+    numHashes: Int = 128,
+    bands: Int = 32,
+    rowsPerBand: Int = 4,
+    jaccardThreshold: Double = 0.7,
+    simhashBits: Int = 64,
+    simhashBlocks: Int = 4,
+    hammingRadius: Int = 3,
+    substrQ: Int = 32,
+    substrSample: Int = 8,
+    /** max docs per LSH bucket for all-pairs emission; larger buckets
+      * fall back to star edges around the bucket-min doc (connectivity
+      * preserved for CC, quadratic blowup avoided — SURVEY.md §4 skew). */
+    bucketCap: Int = 64,
+    /** salt buckets for skewed band keys */
+    saltBuckets: Int = 8,
+    ccMaxIters: Int = 25,
+    ccCheckpointEvery: Int = 5,
+    seed: Long = 42L) {
+  require(numHashes == bands * rowsPerBand, "numHashes must equal bands*rowsPerBand")
+  require(simhashBits == 64, "SimHash is fixed at 64 bits")
+}
+
+object DedupConfig {
+  val default: DedupConfig = DedupConfig()
+}

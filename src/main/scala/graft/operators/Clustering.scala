@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{ClusterAssign, DedupConfig, Doc, DupPair}
+
+/** Edges from all detectors → connected components → cluster
+  * assignments with deterministic first-occurrence representatives.
+  *
+  * Representative rule (T6 parity, /root/reference/src/dedup.c:150-173):
+  * the member minimal under the total order (ts_min, conv_id) — the
+  * "first writer" of the cluster under stream order. Every conversation
+  * gets an assignment; non-duplicated conversations are their own
+  * singleton cluster and representative.
+  */
+object Clustering {
+
+  def assign(
+      spark: SparkSession,
+      docs: Dataset[Doc],
+      pairs: Dataset[DupPair],
+      cfg: DedupConfig = DedupConfig.default): Dataset[ClusterAssign] = {
+    import spark.implicits._
+    val edges = pairs.select($"doc_a", $"doc_b").distinct()
+    val comps = ConnectedComponents.run(spark, edges, cfg.ccMaxIters, cfg.ccCheckpointEvery)
+
+    // every doc: component label if clustered, else itself (singleton)
+    val assigned = docs
+      .select($"conv_id", $"ts_min")
+      .join(comps, Seq("conv_id"), "left")
+      .withColumn("cluster_id", coalesce($"cluster_id", $"conv_id"))
+
+    // first-occurrence representative per cluster: min (ts_min, conv_id)
+    val reps = assigned
+      .groupBy($"cluster_id")
+      .agg(min(struct($"ts_min", $"conv_id")).as("first_occ"))
+      .select($"cluster_id", $"first_occ.conv_id".as("representative"))
+
+    assigned
+      .join(reps, Seq("cluster_id"))
+      .select(
+        $"conv_id",
+        $"cluster_id",
+        $"representative",
+        ($"conv_id" === $"representative").as("is_representative"))
+      .as[ClusterAssign]
+  }
+}

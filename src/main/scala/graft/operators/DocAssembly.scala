@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Doc
+
+/** Turns → per-conversation documents under stable (conv_id, turn_idx)
+  * order.
+  *
+  * Reference analog: replaying a file's recipe in insertion order
+  * (/root/reference/src/trace_work.c:141-222, recipe order established
+  * at /root/reference/src/metadata.c:91-95).
+  *
+  * Scale notes: ONE shuffle on conv_id (unavoidable — turns of a
+  * conversation may arrive from any input split). `sort_array` over the
+  * collected struct keeps ordering inside the aggregation (no global
+  * sort). A conversation must fit in one task's memory — true by the
+  * data model (transcripts are bounded; the 10×-length skew fixture
+  * checks the tail). All expressions are codegen'd built-ins.
+  */
+object DocAssembly {
+
+  /** Separator inserted between turns when concatenating a document.
+    * U+001E (record separator) never occurs in normalized text. */
+  val TurnSep = "\u001E"
+
+  def assemble(spark: SparkSession, transcripts: DataFrame): Dataset[Doc] = {
+    import spark.implicits._
+    transcripts
+      .groupBy($"conv_id")
+      .agg(
+        // sort by turn_idx (first struct field) inside the group —
+        // stable doc assembly without a global orderBy
+        concat_ws(
+          TurnSep,
+          transform(
+            array_sort(collect_list(struct($"turn_idx", $"text"))),
+            x => x.getField("text"))).as("doc_text"),
+        count(lit(1)).cast("int").as("n_turns"),
+        min($"ts").as("ts_min"))
+      .as[Doc]
+  }
+}

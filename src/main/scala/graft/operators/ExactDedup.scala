@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact duplicate detection with first-occurrence-wins representative
+  * assignment — the reference's central semantic
+  * (/root/reference/src/dedup.c:105-175: fingerprint-index probe, hit ⇒
+  * dup inherits the first occurrence's identity; miss ⇒ chunk becomes
+  * the canonical copy).
+  *
+  * Spark-first design: the reference's global fingerprint index
+  * (Bloom filter + disk hash, dedup.c:120-134) is replaced by a single
+  * hash-partitioned `groupBy(fp)` exchange — Spark's shuffle IS the
+  * index probe, partial aggregation gives the map-side combine, and no
+  * driver-side state exists, so the same plan runs at 10^12 rows.
+  *
+  * Determinism: the canonical member of a fingerprint group is the
+  * minimum under the total order (ts, conv_id, turn_idx) — matching the
+  * reference's "first writer wins" under stream order (dedup.c:150-173).
+  */
+object ExactDedup {
+
+  /** 64-bit fingerprint of a text column. xxhash64 is Spark-native and
+    * whole-stage-codegen'd; for a cryptographic fingerprint swap in
+    * sha2(col, 256) — the pipeline only needs equality semantics.
+    * (Reference: SHA-1 fingerprints, /root/reference/src/dedup.c:84.) */
+  def fp(c: Column): Column = xxhash64(c)
+
+  /** Turn-level dedup: every turn mapped to its fingerprint plus the
+    * canonical (first-occurrence) location of that fingerprint.
+    *
+    * Output: conv_id, turn_idx, fp, rep_conv_id, rep_turn_idx, is_unique.
+    * `is_unique` marks the canonical row (the reference would store this
+    * chunk; all others reference it).
+    */
+  def dedupTurns(spark: SparkSession, transcripts: DataFrame): DataFrame = {
+    import spark.implicits._
+    val withFp = transcripts.withColumn("fp", fp($"text"))
+    // min_by over struct gives the first occurrence per fingerprint in
+    // ONE shuffle with partial (map-side) aggregation — no window sort.
+    val canonical = withFp
+      .groupBy($"fp")
+      .agg(
+        min(struct($"ts", $"conv_id", $"turn_idx"))
+          .as("first_occ"),
+        count(lit(1)).as("n_refs"))
+      .select(
+        $"fp",
+        $"first_occ.conv_id".as("rep_conv_id"),
+        $"first_occ.turn_idx".as("rep_turn_idx"),
+        $"n_refs")
+    withFp
+      .select($"conv_id", $"turn_idx", $"ts", $"fp")
+      .join(canonical, Seq("fp"))
+      .select(
+        $"conv_id",
+        $"turn_idx",
+        $"fp",
+        $"rep_conv_id",
+        $"rep_turn_idx",
+        ($"conv_id" === $"rep_conv_id" && $"turn_idx" === $"rep_turn_idx")
+          .as("is_unique"),
+        $"n_refs")
+  }
+
+  /** The unique-turn store: one row per distinct fingerprint carrying
+    * the canonical text. Reference analog: the container store of unique
+    * chunks (/root/reference/src/container.c:435-483). */
+  def uniqueTurns(spark: SparkSession, transcripts: DataFrame): DataFrame = {
+    import spark.implicits._
+    transcripts
+      .withColumn("fp", fp($"text"))
+      .groupBy($"fp")
+      .agg(
+        min(struct($"ts", $"conv_id", $"turn_idx", $"text")).as("first_occ"))
+      .select($"fp", $"first_occ.text".as("text"))
+  }
+
+  /** Doc-level exact dup pairs: (first occurrence, later copy) for every
+    * pair of conversations with identical assembled text. Emitted as
+    * star edges around the canonical doc — linear in group size, so a
+    * pathological all-identical corpus cannot go quadratic. */
+  def docDupPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val withFp = docs.withColumn("fp", fp($"doc_text"))
+    val canon = withFp
+      .groupBy($"fp")
+      .agg(min(struct($"ts_min", $"conv_id")).as("first_occ"))
+      .select($"fp", $"first_occ.conv_id".as("doc_a"))
+    withFp
+      .join(canon, Seq("fp"))
+      .filter($"conv_id" =!= $"doc_a")
+      .select(
+        $"doc_a",
+        $"conv_id".as("doc_b"),
+        lit("exact").as("detector"),
+        lit(1.0).as("score"))
+  }
+
+  /** Dedup-ratio stats (reference analog: the running counters printed
+    * every 10k chunks, /root/reference/src/dedup.c:113-116 and final
+    * totals /root/reference/src/optsmr.c:316-332). */
+  def stats(spark: SparkSession, transcripts: DataFrame): DataFrame = {
+    import spark.implicits._
+    transcripts
+      .select(fp($"text").as("fp"))
+      .agg(
+        count(lit(1)).as("total_turns"),
+        countDistinct($"fp").as("unique_turns"))
+      .select(
+        $"total_turns",
+        $"unique_turns",
+        ($"total_turns" - $"unique_turns").as("dup_turns"),
+        ($"total_turns".cast("double") / $"unique_turns").as("dedup_ratio"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Hashing._
+
+class HashingSpec extends AnyFunSuite {
+
+  test("normalize collapses whitespace and lowercases") {
+    assert(normalize("  Hello   World\t\n x ") == "hello world x")
+    assert(normalize("") == "")
+    assert(normalize("   ") == "")
+  }
+
+  test("hashString is deterministic and seed-sensitive") {
+    assert(hashString("abc") == hashString("abc"))
+    assert(hashString("abc") != hashString("abd"))
+    assert(hashString("abc", 1) != hashString("abc", 2))
+  }
+
+  test("shingleHashes: short docs get one whole-doc shingle") {
+    val h = shingleHashes("one two", 5)
+    assert(h.length == 1)
+    assert(shingleHashes("", 5).isEmpty)
+  }
+
+  test("shingleHashes: count = distinct k-grams, sorted output") {
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val h = shingleHashes(text, 5)
+    assert(h.length == 16)
+    assert(h.sameElements(h.sorted))
+  }
+
+  test("minhash signature deterministic + permutation count") {
+    val sh = shingleHashes("a b c d e f g h i j", 3)
+    val s1 = minhashSignature(sh, 128, 42)
+    val s2 = minhashSignature(sh, 128, 42)
+    assert(s1.sameElements(s2))
+    assert(s1.length == 128)
+    assert(!s1.sameElements(minhashSignature(sh, 128, 43)))
+  }
+
+  test("identical docs → identical signatures, exactJaccard = 1") {
+    val a = shingleHashes("the quick brown fox jumps over the lazy dog", 3)
+    assert(exactJaccard(a, a) == 1.0)
+    assert(signatureJaccard(minhashSignature(a, 128, 42), minhashSignature(a, 128, 42)) == 1.0)
+  }
+
+  test("signatureJaccard approximates exactJaccard (seeded property loop)") {
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h", "alpha", "beta", "gamma", "delta")
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 30) {
+      val t1 = Array.fill(60)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val t2 = Array.fill(60)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      val s1 = shingleHashes(t1, 3); val s2 = shingleHashes(t2, 3)
+      val exact = exactJaccard(s1, s2)
+      val est = signatureJaccard(
+        minhashSignature(s1, 256, 42), minhashSignature(s2, 256, 42))
+      // σ = sqrt(J(1-J)/256) ≤ 0.032; 6σ bound
+      assert(math.abs(exact - est) < 0.2, s"exact=$exact est=$est")
+    }
+  }
+
+  test("simhash: identical → distance 0, small edit → small distance") {
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val edited = base.replace("word30", "wordX")
+    val h1 = simhash(shingleHashes(base, 5))
+    val h2 = simhash(shingleHashes(edited, 5))
+    assert(hammingDistance(h1, h1) == 0)
+    assert(hammingDistance(h1, h2) < 16)
+    // unrelated text lands far away
+    val other = (1 to 60).map(i => s"zzz$i qqq$i").mkString(" ")
+    assert(hammingDistance(h1, simhash(shingleHashes(other, 5))) > 16)
+  }
+
+  test("simhashBlocks: pigeonhole — distance < blocks ⇒ shared block") {
+    val h1 = 0x0123456789ABCDEFL
+    val h2 = h1 ^ 0x7L // distance 3, all flips in block 0
+    val b1 = simhashBlocks(h1, 4)
+    val b2 = simhashBlocks(h2, 4)
+    assert(b1.intersect(b2).length == 3)
+    assert(b1.length == 4)
+    // block ids partition the key space: block i keys from different
+    // blocks never equal
+    assert(simhashBlocks(h1, 4).distinct.length == 4)
+  }
+
+  test("substringAnchors: shared 64-token block ⇒ shared anchor (high prob)") {
+    val block = (1 to 80).map(i => s"blk$i").mkString(" ")
+    val a = "prefix one two three " + block + " suffix four"
+    val b = "other intro words here now " + block + " different tail"
+    val aa = substringAnchors(a, 32, 8)
+    val bb = substringAnchors(b, 32, 8)
+    assert(aa.intersect(bb).nonEmpty)
+    // unrelated docs share nothing
+    val c = (1 to 100).map(i => s"unrel$i").mkString(" ")
+    assert(substringAnchors(c, 32, 8).intersect(aa).isEmpty)
+  }
+}
