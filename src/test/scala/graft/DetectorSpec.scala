@@ -1,0 +1,101 @@
+package graft
+
+import graft.corpus.CorpusGen
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Per-detector recall against the planted ground truth. */
+class DetectorSpec extends SparkSpec {
+  import org.apache.spark.sql.Dataset
+
+  val N = 400L
+  lazy val transcripts = CorpusGen.transcripts(spark, N).toDF.cache()
+  lazy val docs: Dataset[Doc] = {
+    val d = DocAssembly.assemble(spark, transcripts).cache()
+    d.count()
+    d
+  }
+  def truth(kind: String): Set[(String, String)] = {
+    import spark.implicits._
+    CorpusGen.truthPairs(spark, N).filter($"kind" === kind)
+      .select($"doc_a", $"doc_b").as[(String, String)].collect().toSet
+  }
+  def normPairs(df: org.apache.spark.sql.DataFrame): Set[(String, String)] = {
+    import spark.implicits._
+    df.select(least($"doc_a", $"doc_b"), greatest($"doc_a", $"doc_b"))
+      .as[(String, String)].collect().toSet
+  }
+
+  test("minhash-LSH finds all planted near-dup and exact pairs") {
+    val got = normPairs(MinHashLSH.dupPairs(spark, docs, DedupConfig.default).toDF)
+    val expected = truth("near") ++ truth("exact")
+    val missing = expected.diff(got)
+    val recall = 1.0 - missing.size.toDouble / expected.size
+    assert(recall >= 0.99, s"recall=$recall missing=${missing.take(5)}")
+  }
+
+  test("simhash finds the planted fuzzy pairs within Hamming radius") {
+    val got = normPairs(SimHashDetector.dupPairs(spark, docs, DedupConfig.default).toDF)
+    val expected = truth("fuzzy")
+    val missing = expected.diff(got)
+    val recall = 1.0 - missing.size.toDouble / expected.size
+    assert(recall >= 0.99, s"recall=$recall missing=${missing.take(5)}")
+  }
+
+  test("substring detector links docs sharing the planted boilerplate block") {
+    import spark.implicits._
+    val got = normPairs(SubstringDetector.dupPairs(spark, docs, DedupConfig.default).toDF)
+    // truth: all block-family convs using the same global block are
+    // pairwise linked THROUGH connectivity; check each block conv is
+    // linked to at least one other conv sharing its block
+    val blockConvs = spark.range(0, N)
+      .filter(i => CorpusGen.family(i) == "block")
+      .map(i => (CorpusGen.convId(i), (i / 100) % CorpusGen.BoilerplateBlocks.length))
+      .collect()
+    val byBlock = blockConvs.groupBy(_._2).values.filter(_.length > 1)
+    val linked = got.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (group <- byBlock; (cid, _) <- group) {
+      val others = group.map(_._1).toSet - cid
+      assert(linked.getOrElse(cid, Set.empty).intersect(others).nonEmpty,
+        s"$cid not linked to any of its block group")
+    }
+    // and exact-dup convs also share everything → must be linked too
+    assert(truth("exact").diff(got).isEmpty)
+  }
+
+  test("connected components on a toy graph") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("d", "e"), ("f", "g"), ("g", "h"), ("h", "a"))
+      .toDF("doc_a", "doc_b")
+    val comps = ConnectedComponents.run(spark, edges)
+      .as[(String, String)].collect().toMap
+    assert(comps("a") == "a" && comps("b") == "a" && comps("c") == "a")
+    assert(comps("f") == "a" && comps("g") == "a" && comps("h") == "a")
+    assert(comps("d") == "d" && comps("e") == "d")
+  }
+
+  test("connected components on a long chain (pointer-jumping convergence)") {
+    import spark.implicits._
+    val n = 64
+    val edges = (0 until n - 1)
+      .map(i => (f"v$i%03d", f"v${i + 1}%03d")).toDF("doc_a", "doc_b")
+    val comps = ConnectedComponents.run(spark, edges, maxIters = 25)
+      .as[(String, String)].collect()
+    assert(comps.forall(_._2 == "v000"), comps.filter(_._2 != "v000").take(3).mkString)
+  }
+
+  test("LSH bucket cap: mega-template bucket emits linear star edges, cluster still forms") {
+    import spark.implicits._
+    // tiny cap forces the star path on every bucket
+    val cfg = DedupConfig.default.copy(bucketCap = 2)
+    val pairs = MinHashLSH.dupPairs(spark, docs, cfg).toDF
+    val comps = ConnectedComponents.run(spark, pairs.select($"doc_a", $"doc_b"))
+      .as[(String, String)].collect().toMap
+    // all mega convs (slots 90,91 of each group) still share one component
+    val megas = (0L until N).filter(i => CorpusGen.family(i) == "mega").map(CorpusGen.convId)
+    val labels = megas.flatMap(comps.get).distinct
+    assert(labels.size == 1, s"mega split across $labels")
+  }
+}

@@ -72,6 +72,33 @@ class HashingSpec extends AnyFunSuite {
     assert(hammingDistance(h1, simhash(shingleHashes(other, 5))) > 16)
   }
 
+  test("charGram simhash: single-char edits stay within verify radius") {
+    val base = (1 to 120).map(i => s"word$i").mkString(" ")
+    val sb = new StringBuilder(base)
+    sb.setCharAt(40, 'z'); sb.setCharAt(300, 'q')
+    val h1 = simhash(charGramHashes(base))
+    val h2 = simhash(charGramHashes(sb.toString))
+    assert(hammingDistance(h1, h2) <= 10, s"hd=${hammingDistance(h1, h2)}")
+  }
+
+  test("simhashBallKeys: HD<=11 pairs share a key; count/selectivity") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 50) {
+      val h1 = rnd.nextLong()
+      // flip up to 11 random bits
+      val bits = rnd.shuffle((0 until 64).toList).take(rnd.nextInt(12))
+      val h2 = bits.foldLeft(h1)((h, b) => h ^ (1L << b))
+      val k1 = simhashBallKeys(h1, 4).toSet
+      val k2 = simhashBallKeys(h2, 4).toSet
+      assert(k1.intersect(k2).nonEmpty, s"HD=${hammingDistance(h1, h2)} no shared key")
+      assert(k1.size <= 68)
+    }
+    // far-apart hashes share no key (overwhelmingly)
+    val far = simhashBallKeys(0L, 4).toSet
+      .intersect(simhashBallKeys(-1L, 4).toSet)
+    assert(far.isEmpty)
+  }
+
   test("simhashBlocks: pigeonhole — distance < blocks ⇒ shared block") {
     val h1 = 0x0123456789ABCDEFL
     val h2 = h1 ^ 0x7L // distance 3, all flips in block 0
