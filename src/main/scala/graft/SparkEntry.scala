@@ -96,6 +96,118 @@ object SparkEntry {
           sum(when($"text_in".isNull || $"text_out".isNull || $"text_in" =!= $"text_out", 1L)
             .otherwise(0L)).as("mismatches"))
     }),
+    // ---- near-dup detectors + clustering (no DuckDB-expressible
+    // oracle: they depend on engine-side hash functions; driver records
+    // rows-only checks, semantics are covered by the ScalaTest oracles)
+    "q_minhash_pairs" -> ((s, dir) => {
+      val docs = DocAssembly.assemble(s, transcriptsView(s, dir))
+      MinHashLSH.dupPairs(s, docs, DedupConfig.default).toDF
+    }),
+    "q_simhash_pairs" -> ((s, dir) => {
+      val docs = DocAssembly.assemble(s, transcriptsView(s, dir))
+      SimHashDetector.dupPairs(s, docs, DedupConfig.default).toDF
+    }),
+    "q_substring_pairs" -> ((s, dir) => {
+      val docs = DocAssembly.assemble(s, transcriptsView(s, dir))
+      SubstringDetector.dupPairs(s, docs, DedupConfig.default).toDF
+    }),
+    "q_clusters" -> ((s, dir) => {
+      import s.implicits._
+      val docs = DocAssembly.assemble(s, transcriptsView(s, dir))
+      val pairs = ExactDedup.docDupPairs(s, docs.toDF).as[DupPair]
+        .unionByName(MinHashLSH.dupPairs(s, docs, DedupConfig.default))
+        .unionByName(SimHashDetector.dupPairs(s, docs, DedupConfig.default))
+      Clustering.assign(s, docs, pairs, DedupConfig.default).toDF
+    }),
+    // ---- text analysis over the documents table ----
+    "q_token_count" -> ((s, dir) => {
+      import s.implicits._
+      readT(s, dir, "documents")
+        .select($"doc_id", TextAnalysis.tokenCount($"text").cast("bigint").as("n_tokens"))
+    }),
+    "q_quality" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.qualityScore(readT(s, dir, "documents"))
+        .select($"doc_id", $"n_tokens", $"n_punct",
+          $"mean_tok_len_x10000", $"punct_ratio_x10000", $"quality_score")
+    }),
+    "q_lang_dist" -> ((s, dir) => {
+      import s.implicits._
+      readT(s, dir, "documents")
+        .groupBy(TextAnalysis.langId($"text").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    "q_doc_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.fingerprint(readT(s, dir, "documents"))
+        .select($"doc_id", $"doc_fp")
+    }),
+    "q_token_jaccard" -> ((s, dir) => {
+      NgramJaccard.pairs(s, readT(s, dir, "documents"),
+        "doc_id", "text", n = 1, threshold = 0.5)
+    }),
+    "q_ngram_jaccard_2" -> ((s, dir) => {
+      NgramJaccard.pairs(s, readT(s, dir, "documents"),
+        "doc_id", "text", n = 2, threshold = 0.4)
+    }),
+    // ---- embedding similarity ----
+    "q_embed_top1" -> ((s, dir) => {
+      import s.implicits._
+      EmbeddingSim.bruteForceTopK(s, readT(s, dir, "embeddings"),
+        (0L until 20L).toSeq, k = 1)
+        .select($"query_id", $"neighbor_id", $"rank")
+    }),
+    "q_embed_ann" -> ((s, dir) =>
+      EmbeddingSim.rhpBucketTopK(s, readT(s, dir, "embeddings"), k = 5)),
+    // ---- multimodal plumbing (synthetic media; rows-only check) ----
+    "q_media_dedup" -> ((s, _) => {
+      val feats = Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, 512))
+      Multimodal.dedupMedia(s, feats)
+    }),
+    // ---- relational breadth over the TPC-H-ish tables ----
+    "q_agg_lineitem" -> ((s, dir) => {
+      import s.implicits._
+      readT(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").cast("bigint").as("sum_qty"),
+          count(lit(1)).as("n_rows"),
+          countDistinct($"l_partkey").as("n_parts"))
+    }),
+    "q_join_customer_orders" -> ((s, dir) => {
+      import s.implicits._
+      val c = readT(s, dir, "customer")
+      val o = readT(s, dir, "orders")
+      o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          floor(max($"o_totalprice") * 100).cast("bigint").as("max_price_c"))
+    }),
+    "q_window_latest_order" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      readT(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderkey".as("latest_orderkey"))
+    }),
+    "q_anti_customers_no_orders" -> ((s, dir) => {
+      import s.implicits._
+      val c = readT(s, dir, "customer")
+      val o = readT(s, dir, "orders")
+      c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey")
+    }),
+    "q_topk_parts_by_qty" -> ((s, dir) => {
+      import s.implicits._
+      readT(s, dir, "lineitem")
+        .groupBy($"l_partkey")
+        .agg(sum($"l_quantity").cast("bigint").as("qty"))
+        .orderBy($"qty".desc, $"l_partkey")
+        .limit(100)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -140,5 +252,107 @@ object SparkEntry {
     "q_restore_equality" ->
       s"""WITH t AS ($transcriptsViewSql)
          |SELECT count(*) AS turns, CAST(0 AS BIGINT) AS mismatches FROM t""".stripMargin,
+    "q_token_count" ->
+      s"""SELECT doc_id, CAST($tokenCountSql AS BIGINT) AS n_tokens FROM documents""",
+    "q_quality" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST($tokenCountSql AS BIGINT) AS n_tokens,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         |    length(text) AS len,
+         |    length(regexp_replace(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', '', 'g')) AS nonsp
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_punct,
+         |  CAST(CASE WHEN n_tokens = 0 THEN 0
+         |       ELSE floor(10000.0 * nonsp / n_tokens) END AS BIGINT) AS mean_tok_len_x10000,
+         |  CAST(CASE WHEN len = 0 THEN 0
+         |       ELSE floor(10000.0 * n_punct / len) END AS BIGINT) AS punct_ratio_x10000,
+         |  CAST(least(n_tokens, 100) // 2
+         |    + (CASE WHEN (CASE WHEN n_tokens = 0 THEN 0 ELSE floor(10000.0 * nonsp / n_tokens) END)
+         |            BETWEEN 30000 AND 90000 THEN 30 ELSE 0 END)
+         |    + (CASE WHEN (CASE WHEN len = 0 THEN 0 ELSE floor(10000.0 * n_punct / len) END)
+         |            <= 1500 THEN 20 ELSE 0 END) AS BIGINT) AS quality_score
+         |FROM f""".stripMargin,
+    "q_lang_dist" ->
+      s"""SELECT $langIdSql AS pred_lang, count(*) AS n
+         |FROM documents GROUP BY 1""".stripMargin,
+    "q_token_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(
+        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))) AS gram
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM toks GROUP BY doc_id),
+        |df AS (SELECT gram, count(*) AS d FROM toks GROUP BY gram),
+        |rare AS (SELECT toks.doc_id, toks.gram FROM toks JOIN df USING (gram) WHERE df.d <= 1000),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT shared.doc_a, shared.doc_b, shared.inter,
+        |  sa.n_grams AS na, sb.n_grams AS nb,
+        |  CAST(floor(10000.0 * shared.inter / (sa.n_grams + sb.n_grams - shared.inter)) AS BIGINT) AS jaccard_x10000
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = shared.doc_a
+        |JOIN sizes sb ON sb.doc_id = shared.doc_b
+        |WHERE 1.0 * shared.inter / (sa.n_grams + sb.n_grams - shared.inter) >= 0.5""".stripMargin,
+    "q_embed_top1" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM e WHERE vec_id < 20),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM q JOIN e ON e.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+        |      FROM scored)
+        |SELECT query_id, vec_id AS neighbor_id, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 1""".stripMargin,
+    "q_agg_lineitem" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  count(*) AS n_rows,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q_join_customer_orders" ->
+      """SELECT c_nationkey,
+        |  count(*) AS n_orders,
+        |  CAST(floor(max(o_totalprice) * 100) AS BIGINT) AS max_price_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "q_window_latest_order" ->
+      """SELECT o_custkey, o_orderkey AS latest_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1""".stripMargin,
+    "q_anti_customers_no_orders" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_topk_parts_by_qty" ->
+      """SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem GROUP BY 1
+        |ORDER BY qty DESC, l_partkey LIMIT 100""".stripMargin,
   )
+
+  /** Portable token count (engine-agnostic SQL; 'g' flag — DuckDB
+    * regexp_replace is first-match-only by default, Spark is global). */
+  private val tokenCountSql: String =
+    """(CASE WHEN length(regexp_replace(trim(text), ' +', ' ', 'g')) = 0 THEN 0
+      | ELSE length(regexp_replace(trim(text), ' +', ' ', 'g'))
+      |    - length(regexp_replace(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', '', 'g')) + 1
+      | END)""".stripMargin.replace("\n", "")
+
+  /** DuckDB rendering of [[TextAnalysis.langId]] (documents table has
+    * no CJK, but the branch is kept for parity). */
+  private val langIdSql: String =
+    """(CASE
+      | WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+      | WHEN len(list_filter(['der','die','und','nicht','ist','das'],
+      |   w -> position(' ' || w || ' ' IN ' ' || lower(text) || ' ') > 0)) > 0 THEN 'de'
+      | WHEN len(list_filter(['el','la','los','las','es','una','que'],
+      |   w -> position(' ' || w || ' ' IN ' ' || lower(text) || ' ') > 0)) > 0 THEN 'es'
+      | WHEN len(list_filter(['le','les','est','une','des','dans'],
+      |   w -> position(' ' || w || ' ' IN ' ' || lower(text) || ' ') > 0)) > 0 THEN 'fr'
+      | WHEN len(list_filter(['the','is','and','of','to','in'],
+      |   w -> position(' ' || w || ' ' IN ' ' || lower(text) || ' ') > 0)) > 0 THEN 'en'
+      | ELSE 'und' END)""".stripMargin.replace("\n", "")
 }

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting. All are
+  * narrow (per-row) column expressions or pure maps — no shuffles; they
+  * run at input-scan speed and stay inside whole-stage codegen where
+  * built-ins suffice.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count, portable across engines:
+    * tokens = spaces-in-collapsed-text + 1 (0 for empty). */
+  def tokenCount(c: Column): Column = {
+    val collapsed = regexp_replace(trim(c), " +", " ")
+    when(length(collapsed) === 0, lit(0)).otherwise(
+      length(collapsed) - length(regexp_replace(collapsed, " ", "")) + 1)
+  }
+
+  /** Stopword-marker language ID — n-gram/keyword heuristic over the
+    * five corpus languages. Returns 'und' when no marker hits. A real
+    * deployment swaps in a trained n-gram profile; the operator shape
+    * (pure column expr, no shuffle) is what matters at scale. */
+  def langId(c: Column): Column = {
+    val t = concat(lit(" "), lower(c), lit(" "))
+    def hasAny(words: Seq[String]): Column =
+      words.map(w => t.contains(s" $w ")).reduce(_ || _)
+    // CJK: presence of chars in the unified-ideograph block
+    when(c.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(hasAny(Seq("der", "die", "und", "nicht", "ist", "das")), "de")
+      .when(hasAny(Seq("el", "la", "los", "las", "es", "una", "que")), "es")
+      .when(hasAny(Seq("le", "les", "est", "une", "des", "dans")), "fr")
+      .when(hasAny(Seq("the", "is", "and", "of", "to", "in")), "en")
+      .otherwise("und")
+  }
+
+  /** Quality features: length, token count, mean token length,
+    * punctuation count, uppercase-start flag. Returned ×10000-scaled
+    * as BIGINT where fractional (engine-portable integer compare). */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val c = col(textCol)
+    val toks = tokenCount(c)
+    val punct = length(c) - length(regexp_replace(c, "[.,;:!?]", ""))
+    df.withColumn("n_tokens", toks.cast("bigint"))
+      .withColumn("n_punct", punct.cast("bigint"))
+      .withColumn("mean_tok_len_x10000",
+        when(toks === 0, lit(0L)).otherwise(
+          floor(lit(10000.0) * length(regexp_replace(regexp_replace(trim(c), " +", " "), " ", ""))
+            / toks)).cast("bigint"))
+      .withColumn("punct_ratio_x10000",
+        when(length(c) === 0, lit(0L))
+          .otherwise(floor(lit(10000.0) * punct / length(c))).cast("bigint"))
+  }
+
+  /** Composite quality score in [0,100]: docs that are too short, all
+    * punctuation, or one-word-repeated score low. Integer arithmetic
+    * only (portable). */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val f = qualityFeatures(df, textCol)
+    f.withColumn("quality_score",
+      (least(col("n_tokens"), lit(100L)) / lit(2)
+        + when(col("mean_tok_len_x10000").between(30000L, 90000L), lit(30L)).otherwise(lit(0L))
+        + when(col("punct_ratio_x10000") <= 1500L, lit(20L)).otherwise(lit(0L)))
+        .cast("bigint"))
+  }
+
+  /** 64-bit content fingerprint of normalized text (rolling FNV+mix —
+    * [[Hashing.hashString]]); whole-doc identity key for exact dedup
+    * and incremental-skip. Pure map (UDF): not in the codegen hot path
+    * by design — use xxhash64(col) when raw-text identity suffices. */
+  val fingerprintUdf = udf((s: String) => Hashing.hashString(Hashing.normalize(s)))
+
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("doc_fp", fingerprintUdf(col(textCol)))
+}

@@ -1,0 +1,134 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators: text analysis, n-gram Jaccard,
+  * embedding similarity, multimodal plumbing. */
+class TrainingOpsSpec extends SparkSpec {
+
+  lazy val documents = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  lazy val embeddings = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("tokenCount handles empties, padding, multi-space") {
+    import spark.implicits._
+    val df = Seq("", "  ", "one", " a  b   c ", "x y").toDF("text")
+      .withColumn("n", TextAnalysis.tokenCount($"text"))
+    assert(df.select("n").as[Int].collect().toSeq == Seq(0, 0, 1, 3, 2))
+  }
+
+  test("langId classifies marker-bearing texts; documents table all English-ish") {
+    import spark.implicits._
+    // the sf documents table's `lang` column is an independent label —
+    // its text is English-vocabulary regardless — so langId is tested
+    // on texts that actually carry language signal
+    val df = Seq(
+      ("en", "the cat is on the roof and the dog is not"),
+      ("de", "der hund ist nicht die katze und das haus"),
+      ("es", "la casa es una maravilla que los gatos aman"),
+      ("fr", "le chat est dans une maison des amis"),
+      ("zh", "你好 世界 猫 在 屋顶"),
+      ("und", "xxqq zzkk wwpp")).toDF("expected", "text")
+      .withColumn("pred", TextAnalysis.langId($"text"))
+    assert(df.filter($"pred" =!= $"expected").count() == 0)
+    // on the documents table everything should classify en/und (its
+    // vocabulary is English SQL-ish words)
+    val preds = documents.withColumn("pred", TextAnalysis.langId($"text"))
+      .groupBy($"pred").count().collect().map(r => r.getString(0)).toSet
+    assert(preds.subsetOf(Set("en", "und")), preds.toString)
+  }
+
+  test("quality score: garbage scores lower than prose") {
+    import spark.implicits._
+    val df = Seq(
+      ("good", "The quick brown fox jumps over the lazy dog and keeps running through the field"),
+      ("short", "hi"),
+      ("punct", "!!! ... ??? !!! ,,, ;;; !!!")).toDF("id", "text")
+    val scores = TextAnalysis.qualityScore(df).select($"id", $"quality_score")
+      .as[(String, Long)].collect().toMap
+    assert(scores("good") > scores("short"))
+    assert(scores("good") > scores("punct"))
+  }
+
+  test("fingerprint is normalization-invariant") {
+    import spark.implicits._
+    val df = Seq("Hello  World", "hello world").toDF("text")
+    val fps = TextAnalysis.fingerprint(df).select("doc_fp").as[Long].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("ngram jaccard: identical docs score 10000, disjoint absent") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words here now"),
+      (4L, "alpha beta gamma delta zeta")).toDF("doc_id", "text")
+    val p = NgramJaccard.pairs(spark, df, "doc_id", "text", n = 1, threshold = 0.3)
+      .select($"doc_a", $"doc_b", $"jaccard_x10000").as[(Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(p((1L, 2L)) == 10000L)
+    assert(p.contains((1L, 4L)) && p((1L, 4L)) == 6666L) // 4/6
+    assert(!p.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("ngram jaccard bigrams on documents finds the shared-prefix near-dups") {
+    val p = NgramJaccard.pairs(spark, documents, "doc_id", "text", n = 2, threshold = 0.4)
+    assert(p.count() > 0)
+  }
+
+  test("brute-force cosine top-k: self excluded, ranks ordered, k respected") {
+    import spark.implicits._
+    val topk = EmbeddingSim.bruteForceTopK(spark, embeddings, Seq(0L, 1L, 2L), k = 5)
+      .collect()
+    assert(topk.length == 15)
+    val byQ = topk.groupBy(_.getLong(0))
+    for ((q, rows) <- byQ) {
+      val ranked = rows.sortBy(_.getInt(2))
+      assert(ranked.map(_.getInt(2)).toSeq == (1 to 5))
+      assert(!ranked.exists(_.getLong(1) == q))
+      val sims = ranked.map(_.getLong(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("rhp-bucketed ANN finds planted high-cosine near-duplicates") {
+    import spark.implicits._
+    // the raw sf embeddings are near-orthogonal (top-1 cos ≈ 0.35) —
+    // not an ANN regime. The dedup use-case is cos ≥ 0.95: plant
+    // perturbed copies and require the detector to pair them up.
+    val base = embeddings.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    val planted = base.take(60).map { case (id, v) =>
+      val r = new scala.util.Random(id)
+      (id + 100000L, v.map(x => x * 1.01f + 0.002f * r.nextFloat()))
+    }
+    val corpus = (base ++ planted).toSeq.toDS().toDF("vec_id", "embedding")
+      .repartition(4)
+    val pairs = EmbeddingSim.cosineDupPairs(spark, corpus, threshold = 0.95)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val expected = (0L until 60L).map(i => (i, i + 100000L)).toSet
+    val recall = expected.intersect(pairs).size.toDouble / expected.size
+    assert(recall >= 0.95, s"embedding dup recall $recall")
+    // precision: nothing else in this corpus is cos>=0.95
+    assert(pairs.forall { case (a, b) => b == a + 100000L }, pairs.take(5).toString)
+  }
+
+  test("multimodal: features deterministic, planted dups found, frame sampling shape") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, 64)
+    val f1 = Multimodal.extractFeatures(spark, media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(spark, media.repartition(5)).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq.map(identity))
+    assert(f1.filter(_.kind == "video").forall(_.frame_fps.length == 4))
+    assert(f1.filter(_.kind != "video").forall(_.frame_fps.length == 1))
+    val dedup = Multimodal.dedupMedia(spark, Multimodal.extractFeatures(spark, media))
+    val dups = dedup.filter(!$"is_unique").select($"media_id", $"rep_media_id")
+      .as[(Long, Long)].collect().toMap
+    // planted: id % 8 == 7 duplicates id-3
+    for (id <- 0L until 64L if id % 8 == 7) assert(dups.get(id).contains(id - 3))
+    assert(dups.size == 8)
+  }
+}
