@@ -1,25 +1,154 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main — driver contract: ONE JSON line on stdout,
+  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Headline = the full dedup pipeline over the events-derived
+  * transcripts at the given SF (the north_rule workload; reported both
+  * as seconds and turns/sec), plus representative operator queries.
+  * Heavyweight all-pairs queries (token Jaccard at n² candidate scale)
+  * are deliberately not in the headline set — they are correctness
+  * operators, not the scale path (the LSH detectors are).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  /** The headline query set: name → action to force (count). */
+  def headline(s: SparkSession, dir: String): Seq[(String, () => Long)] = {
+    import graft.operators._
+    import s.implicits._
+    val cfg = DedupConfig.default
+    def docs() = DocAssembly.assemble(s, SparkEntry.transcriptsView(s, dir))
+    Seq(
+      "doc_assembly" -> (() => docs().count()),
+      "turn_dedup" -> (() =>
+        ExactDedup.dedupTurns(s, SparkEntry.transcriptsView(s, dir)).count()),
+      "minhash_lsh_pairs" -> (() => MinHashLSH.dupPairs(s, docs(), cfg).count()),
+      "simhash_pairs" -> (() => SimHashDetector.dupPairs(s, docs(), cfg).count()),
+      "substring_pairs" -> (() => SubstringDetector.dupPairs(s, docs(), cfg).count()),
+      "cluster_assign" -> (() => {
+        val d = docs()
+        val pairs = ExactDedup.docDupPairs(s, d.toDF).as[DupPair]
+          .unionByName(MinHashLSH.dupPairs(s, d, cfg))
+          .unionByName(SimHashDetector.dupPairs(s, d, cfg))
+        Clustering.assign(s, d, pairs, cfg).count()
+      }),
+      "restore" -> (() => {
+        val t = SparkEntry.transcriptsView(s, dir)
+        val lineage = ExactDedup.dedupTurns(s, t).select($"conv_id", $"turn_idx", $"fp")
+        Restore.restore(s, lineage, ExactDedup.uniqueTurns(s, t)).count()
+      }),
+      "text_quality" -> (() =>
+        TextAnalysis.qualityScore(
+          s.read.parquet(s"$dir/documents.parquet")).count()),
+      "embed_ann_top5" -> (() =>
+        EmbeddingSim.rhpBucketTopK(s, s.read.parquet(s"$dir/embeddings.parquet"), k = 5).count()),
+      "agg_lineitem" -> (() =>
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(sum($"l_quantity"), count(lit(1)), countDistinct($"l_partkey")).count()),
+      "window_latest_order" -> (() => SparkEntry.queries("q_window_latest_order")(s, dir).count()),
+    )
+  }
+
+  def buildSession(cpus: String): SparkSession = {
+    // shuffle + spill on tmpfs when available: a single local disk is
+    // not representative of a cluster's per-executor disks and its fs
+    // metadata ops serialize under 32 writers
+    val localDir =
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+      else System.getProperty("java.io.tmpdir")
+    SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.maxPlanStringLength", "1048576")
+      .config("spark.local.dir", localDir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+  }
+
+  /** Run the headline set once; returns (name, seconds, rows). */
+  def runOnce(spark: SparkSession, sfDir: String): Seq[(String, Double, Long)] =
+    headline(spark, sfDir).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try fn() catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      (name, (System.nanoTime() - t0) / 1e9, n)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+  /** Stage names whose sum defines dedup-pipeline wall time.
+    * cluster_assign internally re-runs every detector (each bench query
+    * is standalone), so the standalone detector timings are NOT added
+    * again here. */
+  val DedupStages: Set[String] = Set(
+    "doc_assembly", "turn_dedup", "cluster_assign", "restore")
+
+  /** The full dedup workload over an arbitrary transcripts DataFrame,
+    * timed as one unit (docs → turn dedup → detectors → clustering →
+    * restore). Used by the Scaling harness on the synthetic corpus. */
+  def runDedupWorkload(s: SparkSession, transcripts: DataFrame): Double = {
+    import graft.operators._
+    import s.implicits._
+    val cfg = DedupConfig.default
+    val t0 = System.nanoTime()
+    var tPrev = t0
+    def lap(stage: String): Unit = {
+      val now = System.nanoTime()
+      System.err.println(f"[workload] $stage ${(now - tPrev) / 1e9}%.2fs")
+      tPrev = now
+    }
+    // stage outputs that later stages consume are cached once — the
+    // same role the TableStore stage commits play in Pipeline.run —
+    // and explicitly unpersisted when done (repeated bench runs must
+    // not accumulate stale blocks)
+    val docs = DocAssembly.assemble(s, transcripts).cache()
+    docs.count(); lap("doc_assembly")
+    val turnMap = ExactDedup.dedupTurns(s, transcripts).cache()
+    turnMap.count(); lap("turn_dedup")
+    val mhSigs = MinHashLSH.signatures(s, docs, cfg).cache()
+    val mh = MinHashLSH.verifiedPairs(s,
+      MinHashLSH.candidatePairs(s, MinHashLSH.bandKeys(s, mhSigs, cfg), cfg), mhSigs, cfg)
+    val sh = SimHashDetector.dupPairs(s, docs, cfg)
+    val ss = SubstringDetector.dupPairs(s, docs, cfg)
+    val exact = ExactDedup.docDupPairs(s, docs.toDF).as[DupPair]
+    val nPairs = exact.toDF
+      .unionByName(mh.toDF).unionByName(sh.toDF)
+      .cache()
+    nPairs.count(); ss.count(); lap("detectors")
+    mhSigs.unpersist(false)
+    Clustering.assign(s, docs, nPairs.as[DupPair], cfg).count(); lap("clustering")
+    nPairs.unpersist(false)
+    val lineage = turnMap.select($"conv_id", $"turn_idx", $"fp")
+    Restore.restore(s, lineage, ExactDedup.uniqueTurns(s, transcripts)).count(); lap("restore")
+    docs.unpersist(false); turnMap.unpersist(false)
+    s.sharedState.cacheManager.clearCache()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = buildSession(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val nTurns = spark.read.parquet(s"$sfDir/events.parquet").count()
+
+    // JIT/classloading warmup on the cheapest stage so per-query
+    // numbers measure the plan, not first-run overhead
+    headline(spark, sfDir).head._2.apply()
+
+    val results = runOnce(spark, sfDir)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val dedupSecs = results.filter(r => DedupStages.contains(r._1)).map(_._2).sum
+    val tps = if (dedupSecs > 0) nTurns / dedupSecs else 0.0
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"dedup_pipeline_sec":${f"$dedupSecs%.3f"},"dedup_turns_per_sec":${f"$tps%.1f"},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -31,22 +31,29 @@ object MinHashLSH {
   final case class Sig(conv_id: String, sig: Array[Long])
   final case class BandKey(band_key: Long, conv_id: String)
 
-  /** Per-doc MinHash signatures — narrow map, embarrassingly parallel. */
+  /** Per-doc MinHash signatures — a narrow projection through the
+    * native [[graft.plans.MinHashSigExpr]] expression: stays inside
+    * whole-stage codegen, no encoder round-trip. */
   def signatures(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): Dataset[Sig] = {
     import spark.implicits._
-    val (k, n, seed) = (cfg.shingleK, cfg.numHashes, cfg.seed)
-    docs.map { d =>
-      Sig(d.conv_id, Hashing.minhashSignature(Hashing.shingleHashes(d.doc_text, k), n, seed))
-    }
+    graft.plans.GraftFunctions.register(spark)
+    docs.toDF.select(
+      $"conv_id",
+      call_function("graft_minhash_sig", $"doc_text",
+        lit(cfg.shingleK), lit(cfg.numHashes), lit(cfg.seed)).as("sig"))
+      .as[Sig]
   }
 
-  /** (band_key, conv_id) rows: `bands` rows per doc. */
+  /** (band_key, conv_id) rows: `bands` rows per doc (codegen'd
+    * band-hash + explode — still narrow). */
   def bandKeys(spark: SparkSession, sigs: Dataset[Sig], cfg: DedupConfig): Dataset[BandKey] = {
     import spark.implicits._
-    val (bands, rows) = (cfg.bands, cfg.rowsPerBand)
-    sigs.flatMap { s =>
-      Iterator.tabulate(bands)(b => BandKey(Hashing.bandHash(s.sig, b, rows), s.conv_id))
-    }
+    graft.plans.GraftFunctions.register(spark)
+    sigs.toDF.select(
+      explode(call_function("graft_band_hashes", $"sig",
+        lit(cfg.bands), lit(cfg.rowsPerBand))).as("band_key"),
+      $"conv_id")
+      .as[BandKey]
   }
 
   /** Candidate pairs from shared band buckets; deduplicated across
@@ -103,13 +110,12 @@ object MinHashLSH {
       cfg: DedupConfig,
       slack: Double = 0.05): Dataset[DupPair] = {
     import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
     val sigDf = sigs.toDF("conv_id", "sig")
-    val est = udf((a: Seq[Long], b: Seq[Long]) =>
-      Hashing.signatureJaccard(a.toArray, b.toArray))
     candidates
       .join(sigDf.withColumnRenamed("conv_id", "doc_a").withColumnRenamed("sig", "sig_a"), Seq("doc_a"))
       .join(sigDf.withColumnRenamed("conv_id", "doc_b").withColumnRenamed("sig", "sig_b"), Seq("doc_b"))
-      .withColumn("score", est($"sig_a", $"sig_b"))
+      .withColumn("score", call_function("graft_sig_jaccard", $"sig_a", $"sig_b"))
       .filter($"score" >= lit(cfg.jaccardThreshold - slack))
       .select($"doc_a", $"doc_b", lit("minhash").as("detector"), $"score")
       .as[DupPair]

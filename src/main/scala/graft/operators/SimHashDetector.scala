@@ -33,18 +33,21 @@ object SimHashDetector {
 
   def signatures(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): Dataset[SimSig] = {
     import spark.implicits._
-    val k = cfg.simhashShingleK
-    docs.map(d => SimSig(d.conv_id, Hashing.simhash(Hashing.shingleHashes(d.doc_text, k))))
+    graft.plans.GraftFunctions.register(spark)
+    docs.toDF.select(
+      $"conv_id",
+      call_function("graft_simhash64", $"doc_text", lit(cfg.simhashShingleK)).as("simhash"))
+      .as[SimSig]
   }
 
   def dupPairs(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): Dataset[DupPair] = {
     import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
     val sigs = signatures(spark, docs, cfg).cache()
-    val blocks = cfg.simhashBlocks
-    val keys = sigs.flatMap { s =>
-      Hashing.simhashBallKeys(s.simhash, blocks).iterator
-        .map(bk => MinHashLSH.BandKey(bk, s.conv_id))
-    }
+    val keys = sigs.toDF.select(
+      explode(call_function("graft_ball_keys", $"simhash", lit(cfg.simhashBlocks))).as("band_key"),
+      $"conv_id")
+      .as[MinHashLSH.BandKey]
     val cands = MinHashLSH.candidatePairs(spark, keys, cfg)
     val sigDf = sigs.toDF("conv_id", "simhash")
     cands

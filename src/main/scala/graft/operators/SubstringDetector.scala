@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.{DedupConfig, Doc, DupPair}
 import graft.functions.Hashing
 
@@ -30,11 +31,12 @@ object SubstringDetector {
 
   def dupPairs(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): Dataset[DupPair] = {
     import spark.implicits._
-    val (q, sample) = (cfg.substrQ, cfg.substrSample)
-    val keys = docs.flatMap { d =>
-      Hashing.substringAnchors(d.doc_text, q, sample).iterator
-        .map(a => MinHashLSH.BandKey(a, d.conv_id))
-    }
+    graft.plans.GraftFunctions.register(spark)
+    val keys = docs.toDF.select(
+      explode(call_function("graft_substr_anchors", $"doc_text",
+        lit(cfg.substrQ), lit(cfg.substrSample))).as("band_key"),
+      $"conv_id")
+      .as[MinHashLSH.BandKey]
     MinHashLSH
       .candidatePairs(spark, keys, cfg)
       .select($"doc_a", $"doc_b")

@@ -1,0 +1,200 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.Hashing
+
+/** Native Catalyst expressions for the signature kernels.
+  *
+  * Why expressions instead of typed `Dataset.map`: the detectors' hot
+  * path (signature computation over every document) stays inside
+  * whole-stage codegen — no encoder round-trip (InternalRow → case
+  * class → InternalRow), no extra serialization; the generated code
+  * calls the [[GraftKernels]] statics directly on UTF8String/ArrayData.
+  *
+  * Registered under `graft_*` names by [[GraftFunctions.register]] (or
+  * via `spark.sql.extensions=graft.plans.GraftExtensions`), callable
+  * from SQL and from `call_function` — the (c) tier of the custom-op
+  * preference order in the build brief.
+  */
+object GraftKernels {
+  def minhashSig(text: UTF8String, k: Int, numHashes: Int, seed: Long): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      Hashing.minhashSignature(Hashing.shingleHashes(text.toString, k), numHashes, seed))
+
+  def simhash64(text: UTF8String, k: Int): Long =
+    Hashing.simhash(Hashing.shingleHashes(text.toString, k))
+
+  def bandHashes(sig: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    val arr = sig.toLongArray()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) { out(b) = Hashing.bandHash(arr, b, rowsPerBand); b += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def substrAnchors(text: UTF8String, q: Int, sample: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(Hashing.substringAnchors(text.toString, q, sample))
+
+  def ballKeys(h: Long, blocks: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(Hashing.simhashBallKeys(h, blocks))
+
+  def sigJaccard(a: ArrayData, b: ArrayData): Double =
+    Hashing.signatureJaccard(a.toLongArray(), b.toLongArray())
+}
+
+/** text → Array[Long] MinHash signature. */
+case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int, seed: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires StringType, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.minhashSig(input.asInstanceOf[UTF8String], k, numHashes, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.GraftKernels.minhashSig($c, $k, $numHashes, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** text → 64-bit SimHash over k-token shingles. */
+case class SimHash64Expr(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires StringType, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.simhash64(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftKernels.simhash64($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+/** Array[Long] signature → Array[Long] of per-band bucket keys. */
+case class BandHashesExpr(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_band_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.bandHashes(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.GraftKernels.bandHashes($c, $bands, $rowsPerBand)")
+  override protected def withNewChildInternal(newChild: Expression): BandHashesExpr =
+    copy(child = newChild)
+}
+
+/** text → winnowed anchor hashes of q-token grams. */
+case class SubstrAnchorsExpr(child: Expression, q: Int, sample: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires StringType, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_substr_anchors"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.substrAnchors(input.asInstanceOf[UTF8String], q, sample)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.GraftKernels.substrAnchors($c, $q, $sample)")
+  override protected def withNewChildInternal(newChild: Expression): SubstrAnchorsExpr =
+    copy(child = newChild)
+}
+
+/** simhash Long → Hamming-ball candidate keys. */
+case class BallKeysExpr(child: Expression, blocks: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires LongType, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_ball_keys"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.ballKeys(input.asInstanceOf[Long], blocks)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftKernels.ballKeys($c, $blocks)")
+  override protected def withNewChildInternal(newChild: Expression): BallKeysExpr =
+    copy(child = newChild)
+}
+
+/** (sigA, sigB) → estimated Jaccard (fraction of equal components). */
+case class SigJaccardExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<bigint> inputs, got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_sig_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftKernels.sigJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.GraftKernels.sigJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigJaccardExpr =
+    copy(left = l, right = r)
+}
+
+/** Session registration of the graft_* functions. SQL arg forms take
+  * the tunables as literal ints (foldable), e.g.
+  * `graft_minhash_sig(text, 5, 128, 42)`. */
+object GraftFunctions {
+
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+  private def litLong(e: Expression, what: String): Long = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].longValue()
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash_sig" -> (cs =>
+      MinHashSigExpr(cs.head, litInt(cs(1), "k"), litInt(cs(2), "numHashes"), litLong(cs(3), "seed"))),
+    "graft_simhash64" -> (cs => SimHash64Expr(cs.head, litInt(cs(1), "k"))),
+    "graft_band_hashes" -> (cs =>
+      BandHashesExpr(cs.head, litInt(cs(1), "bands"), litInt(cs(2), "rowsPerBand"))),
+    "graft_substr_anchors" -> (cs =>
+      SubstrAnchorsExpr(cs.head, litInt(cs(1), "q"), litInt(cs(2), "sample"))),
+    "graft_ball_keys" -> (cs => BallKeysExpr(cs.head, litInt(cs(1), "blocks"))),
+    "graft_sig_jaccard" -> (cs => SigJaccardExpr(cs.head, cs(1))),
+  )
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit = builders.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.plans.GraftKernels", null, name),
+      builder)
+  }
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` injection point. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.plans.GraftKernels", null, name),
+        builder))
+    }
+}
