@@ -164,6 +164,18 @@ object SparkEntry {
       val feats = Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, 512))
       Multimodal.dedupMedia(s, feats)
     }),
+    "q_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      // corpus = users with even id; batch = odd — the append path
+      val t = transcriptsView(s, dir)
+      val corpus = t.filter(substring($"conv_id", 2, 10).cast("long") % 2 === 0)
+      val batch = t.filter(substring($"conv_id", 2, 10).cast("long") % 2 === 1)
+      val corpusFps = operators.ExactDedup.uniqueTurns(s, corpus).select($"fp")
+      operators.IncrementalDedup.dedupeAgainst(s, corpusFps, batch, expectedFps = 100000L)
+        .agg(
+          count(lit(1)).as("batch_rows"),
+          sum(when($"is_known", 1L).otherwise(0L)).as("known_rows"))
+    }),
     // ---- relational breadth over the TPC-H-ish tables ----
     "q_agg_lineitem" -> ((s, dir) => {
       import s.implicits._
@@ -252,6 +264,14 @@ object SparkEntry {
     "q_restore_equality" ->
       s"""WITH t AS ($transcriptsViewSql)
          |SELECT count(*) AS turns, CAST(0 AS BIGINT) AS mismatches FROM t""".stripMargin,
+    "q_incremental_dedup" ->
+      s"""WITH t AS ($transcriptsViewSql),
+         |corpus AS (SELECT * FROM t WHERE CAST(substring(conv_id, 2) AS BIGINT) % 2 = 0),
+         |batch AS (SELECT * FROM t WHERE CAST(substring(conv_id, 2) AS BIGINT) % 2 = 1)
+         |SELECT count(*) AS batch_rows,
+         |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM corpus WHERE corpus.text = batch.text)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS known_rows
+         |FROM batch""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id, CAST($tokenCountSql AS BIGINT) AS n_tokens FROM documents""",
     "q_quality" ->

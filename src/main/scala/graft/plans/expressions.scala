@@ -177,6 +177,13 @@ object GraftFunctions {
       SubstrAnchorsExpr(cs.head, litInt(cs(1), "q"), litInt(cs(2), "sample"))),
     "graft_ball_keys" -> (cs => BallKeysExpr(cs.head, litInt(cs(1), "blocks"))),
     "graft_sig_jaccard" -> (cs => SigJaccardExpr(cs.head, cs(1))),
+    // the internal bloom-filter aggregate/probe (Spark uses them for
+    // runtime join filters but does not expose SQL names in 4.1):
+    // graft_bloom_agg(longCol, expectedItems, numBits) → binary,
+    // graft_bloom_contains(bf, longCol) → boolean
+    "graft_bloom_agg" -> (cs =>
+      new aggregate.BloomFilterAggregate(cs.head, cs(1), cs(2)).toAggregateExpression()),
+    "graft_bloom_contains" -> (cs => BloomFilterMightContain(cs.head, cs(1))),
   )
 
   /** Idempotent per-session registration. */
