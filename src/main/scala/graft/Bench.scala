@@ -63,7 +63,9 @@ object Bench {
     SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 4× cores: straggler smoothing for skewed stages; AQE coalesces
+      // the small ones back
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.maxPlanStringLength", "1048576")

@@ -73,30 +73,81 @@ object Hashing {
     if (norm.isEmpty) Array.empty else norm.split(' ')
   }
 
+  /** Per-token hashes in ONE pass over the raw text — no intermediate
+    * normalized String, no String[] tokens, no boxing. Equivalent to
+    * `tokens(text).map(hashString(_))`: tokens are maximal
+    * non-whitespace runs, case-folded per char; FNV-1a runs over the
+    * token's UTF-8 bytes (chars < 0x80 hash directly; rare non-ASCII
+    * tokens fall back to a String slice). Allocation discipline matters
+    * at corpus scale: the signature kernels run on every document and
+    * boxed-HashSet churn saturates memory bandwidth before CPUs. */
+  def tokenHashes(text: String): Array[Long] = {
+    var out = new Array[Long](math.max(8, text.length / 6))
+    var n = 0
+    val len = text.length
+    var i = 0
+    while (i < len) {
+      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+      if (i < len) {
+        val start = i
+        var h = 0xCBF29CE484222325L
+        var ascii = true
+        while (i < len && !Character.isWhitespace(text.charAt(i))) {
+          val c = Character.toLowerCase(text.charAt(i))
+          if (c < 0x80) {
+            h ^= (c & 0xFFL)
+            h *= 0x100000001B3L
+          } else ascii = false
+          i += 1
+        }
+        val th =
+          if (ascii) mix64(h)
+          else {
+            val sb = new java.lang.StringBuilder(i - start)
+            var p = start
+            while (p < i) { sb.append(Character.toLowerCase(text.charAt(p))); p += 1 }
+            hashString(sb.toString)
+          }
+        if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        out(n) = th
+        n += 1
+      }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
   /** Hashes of all k-token shingles of `text` (deduplicated — shingle
     * SETS, so Jaccard on hash sets equals Jaccard on shingle sets up to
     * 64-bit collisions). Short docs (< k tokens) get one whole-doc
-    * shingle so they still carry a signature. */
+    * shingle so they still carry a signature. Primitive arrays + sort
+    * dedup — zero boxing on the hot path. */
   def shingleHashes(text: String, k: Int): Array[Long] = {
-    val toks = tokens(text)
-    if (toks.isEmpty) return Array.empty
-    val n = math.max(1, toks.length - k + 1)
-    val set = new java.util.HashSet[Long](n * 2)
+    val th = tokenHashes(text)
+    if (th.isEmpty) return Array.empty
+    val n = math.max(1, th.length - k + 1)
+    val buf = new Array[Long](n)
     var i = 0
     while (i < n) {
       var h = 0x2545F4914F6CDD1DL
       var j = i
-      val end = math.min(i + k, toks.length)
-      while (j < end) { h = combine(h, hashString(toks(j))); j += 1 }
-      set.add(h)
+      val end = math.min(i + k, th.length)
+      while (j < end) { h = combine(h, th(j)); j += 1 }
+      buf(i) = h
       i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
+    sortedDistinct(buf, n)
+  }
+
+  /** In-place sort + dedup of buf[0,n) → distinct sorted array. */
+  private[functions] def sortedDistinct(buf: Array[Long], n: Int): Array[Long] = {
+    java.util.Arrays.sort(buf, 0, n)
     var m = 0
-    while (it.hasNext) { out(m) = it.next(); m += 1 }
-    java.util.Arrays.sort(out)
-    out
+    var i = 0
+    while (i < n) {
+      if (i == 0 || buf(i) != buf(i - 1)) { buf(m) = buf(i); m += 1 }
+      i += 1
+    }
+    if (m == buf.length) buf else java.util.Arrays.copyOf(buf, m)
   }
 
   // ---------------------------------------------------------------------
@@ -108,11 +159,18 @@ object Hashing {
     * shingles per doc; O(|shingles| * numHashes). Empty docs → all-MaxValue
     * sentinel signature (never matches a non-empty doc's bands by
     * accident because band hashing includes the band id). */
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), Array[Long]]()
+  private def permSeeds(seed: Long, numHashes: Int): Array[Long] =
+    seedCache.computeIfAbsent((seed, numHashes), { key =>
+      val (s, n) = key
+      Array.tabulate(n)(i => mix64(s + i * 0x632BE59BD9B4E019L))
+    })
+
   def minhashSignature(shingles: Array[Long], numHashes: Int, seed: Long): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
-    val seeds = new Array[Long](numHashes)
+    val seeds = permSeeds(seed, numHashes)
     var i = 0
-    while (i < numHashes) { seeds(i) = mix64(seed + i * 0x632BE59BD9B4E019L); i += 1 }
     var s = 0
     while (s < shingles.length) {
       val x = shingles(s)
@@ -171,21 +229,17 @@ object Hashing {
     val norm = normalize(text)
     if (norm.isEmpty) return Array.empty
     val count = math.max(1, norm.length - n + 1)
-    val set = new java.util.HashSet[Long](count * 2)
+    val buf = new Array[Long](count)
     var i = 0
     while (i < count) {
       var h = 0x9E6C63D0876A9F4BL
       var j = i
       val end = math.min(i + n, norm.length)
       while (j < end) { h = combine(h, norm.charAt(j).toLong); j += 1 }
-      set.add(h)
+      buf(i) = h
       i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var m = 0
-    while (it.hasNext) { out(m) = it.next(); m += 1 }
-    out
+    sortedDistinct(buf, count)
   }
 
   /** 64-bit SimHash: per-bit majority vote over the doc's feature hashes
@@ -256,24 +310,18 @@ object Hashing {
     * (/root/reference/src/chunk.c:91-96) — the same "content decides the
     * cut points so copies align" idea, applied to token streams. */
   def substringAnchors(text: String, q: Int, sample: Int): Array[Long] = {
-    val toks = tokens(text)
-    if (toks.length < q) return Array.empty
-    val th = new Array[Long](toks.length)
+    val th = tokenHashes(text)
+    if (th.length < q) return Array.empty
+    val buf = new Array[Long](th.length - q + 1)
+    var n = 0
     var i = 0
-    while (i < toks.length) { th(i) = hashString(toks(i)); i += 1 }
-    val set = new java.util.HashSet[Long]()
-    i = 0
-    while (i + q <= toks.length) {
+    while (i + q <= th.length) {
       var h = 0x1D8E4E27C47D124FL
       var j = i
       while (j < i + q) { h = combine(h, th(j)); j += 1 }
-      if ((h & (sample - 1)) == 0) set.add(h)
+      if ((h & (sample - 1)) == 0) { buf(n) = h; n += 1 }
       i += 1
     }
-    val out = new Array[Long](set.size)
-    val it = set.iterator()
-    var m = 0
-    while (it.hasNext) { out(m) = it.next(); m += 1 }
-    out
+    sortedDistinct(buf, n)
   }
 }

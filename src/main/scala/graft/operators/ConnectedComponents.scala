@@ -32,6 +32,17 @@ object ConnectedComponents {
     * @return (conv_id, cluster_id) where cluster_id = min member id. */
   def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 25, checkpointEvery: Int = 1): DataFrame = {
     import spark.implicits._
+    // label tables are tiny relative to the corpus; AQE's per-shuffle
+    // re-planning adds fixed latency to every one of the loop's jobs —
+    // turn it off for the loop, restore afterwards
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try runLoop(spark, edges, maxIters, checkpointEvery)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def runLoop(spark: SparkSession, edges: DataFrame, maxIters: Int, checkpointEvery: Int): DataFrame = {
+    import spark.implicits._
     val sym = edges
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))

@@ -67,13 +67,13 @@ object MinHashLSH {
         // buffer up to cap+1 members; beyond that stream star edges
         val buf = new scala.collection.mutable.ArrayBuffer[String](16)
         var overflow = false
-        val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         while (it.hasNext && !overflow) {
           buf += it.next().conv_id
           if (buf.length > cap) overflow = true
         }
         if (!overflow) {
           val arr = buf.sorted
+          val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
           var i = 0
           while (i < arr.length) {
             var j = i + 1
@@ -85,6 +85,11 @@ object MinHashLSH {
           }
           pairs.iterator
         } else {
+          // overflow: stream star edges around the buffered minimum.
+          // The hub depends on which cap+1 members were buffered first,
+          // so the emitted EDGE SET may differ between task attempts —
+          // connectivity (what CC consumes) is hub-invariant, which is
+          // the property the pipeline relies on.
           val hub = buf.min
           val starBuf = buf.iterator.filter(_ != hub).map(c => orient(hub, c))
           val starRest = it.map(bk => orient(hub, bk.conv_id)).filter(p => p._1 != p._2)

@@ -5,7 +5,7 @@ object RepeatProbe {
     val cpus = if (args.length > 0) args(0) else "32"
     val spark = Bench.buildSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
-    val t = spark.read.parquet("/tmp/graft_scaling_corpus_20000")
+    val t = spark.read.parquet(if (args.length > 1) args(1) else "/tmp/graft_scaling_corpus_20000")
     t.count()
     for (i <- 1 to 3) {
       val secs = Bench.runDedupWorkload(spark, t)
