@@ -29,11 +29,16 @@ object Bench {
       "simhash_pairs" -> (() => SimHashDetector.dupPairs(s, docs(), cfg).count()),
       "substring_pairs" -> (() => SubstringDetector.dupPairs(s, docs(), cfg).count()),
       "cluster_assign" -> (() => {
-        val d = docs()
-        val pairs = ExactDedup.docDupPairs(s, d.toDF).as[DupPair]
-          .unionByName(MinHashLSH.dupPairs(s, d, cfg))
-          .unionByName(SimHashDetector.dupPairs(s, d, cfg))
-        Clustering.assign(s, d, pairs, cfg).count()
+        // docs feeds three detectors + the final assignment join: cache
+        // it once (parity with runDedupWorkload) or assembly re-executes
+        // ~4× inside this one query
+        val d = docs().cache()
+        try {
+          val pairs = ExactDedup.docDupPairs(s, d.toDF).as[DupPair]
+            .unionByName(MinHashLSH.dupPairs(s, d, cfg))
+            .unionByName(SimHashDetector.dupPairs(s, d, cfg))
+          Clustering.assign(s, d, pairs, cfg).count()
+        } finally d.unpersist(false)
       }),
       "restore" -> (() => {
         val t = SparkEntry.transcriptsView(s, dir)

@@ -221,29 +221,10 @@ object Hashing {
   // SimHash
   // ---------------------------------------------------------------------
 
-  /** Hashes of the distinct character 4-grams of normalized text —
-    * the SimHash feature set. Char grams (not token shingles) so a
-    * single-character edit perturbs only ~8 of hundreds of features,
-    * keeping near-dup Hamming distance small and concentrated. */
-  def charGramHashes(text: String, n: Int = 4): Array[Long] = {
-    val norm = normalize(text)
-    if (norm.isEmpty) return Array.empty
-    val count = math.max(1, norm.length - n + 1)
-    val buf = new Array[Long](count)
-    var i = 0
-    while (i < count) {
-      var h = 0x9E6C63D0876A9F4BL
-      var j = i
-      val end = math.min(i + n, norm.length)
-      while (j < end) { h = combine(h, norm.charAt(j).toLong); j += 1 }
-      buf(i) = h
-      i += 1
-    }
-    sortedDistinct(buf, count)
-  }
-
   /** 64-bit SimHash: per-bit majority vote over the doc's feature hashes
-    * (Charikar, STOC'02). */
+    * (Charikar, STOC'02). The feature set on the live path is the
+    * k-token shingle hashes (simhashShingleK in [[graft.DedupConfig]])
+    * computed by [[shingleHashes]]. */
   def simhash(shingles: Array[Long]): Long = {
     val counts = new Array[Int](64)
     var s = 0
@@ -260,15 +241,6 @@ object Hashing {
     var b = 0
     while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
-  }
-
-  /** The `blocks` equal-width bit blocks of a 64-bit simhash. Two hashes
-    * within Hamming distance < blocks share at least one exact block
-    * (pigeonhole) — the candidate-join key. */
-  def simhashBlocks(h: Long, blocks: Int): Array[Long] = {
-    val width = 64 / blocks
-    val mask = if (width == 64) -1L else (1L << width) - 1
-    Array.tabulate(blocks)(i => ((h >>> (i * width)) & mask) | (i.toLong << 60))
   }
 
   /** Hamming-ball candidate keys: for each 16-bit block, the exact block
@@ -310,6 +282,10 @@ object Hashing {
     * (/root/reference/src/chunk.c:91-96) — the same "content decides the
     * cut points so copies align" idea, applied to token streams. */
   def substringAnchors(text: String, q: Int, sample: Int): Array[Long] = {
+    // mask-based "≡ 0 mod sample" requires a power of two — any other
+    // value silently changes the sampling rate (DedupConfig enforces
+    // this too; re-checked here for direct callers)
+    require(Integer.bitCount(sample) == 1, s"sample must be a power of two, got $sample")
     val th = tokenHashes(text)
     if (th.length < q) return Array.empty
     val buf = new Array[Long](th.length - q + 1)

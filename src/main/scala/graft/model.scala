@@ -49,6 +49,13 @@ final case class ClusterAssign(
     representative: String,
     is_representative: Boolean)
 
+/** 128-bit content fingerprint (two independently-seeded 64-bit
+  * halves). Wide enough that birthday collisions are negligible at the
+  * 10^12-turn design scale — the reference's 17-byte-SHA-1 decision
+  * (/root/reference/include/config.h:42) re-expressed as a fixed-width
+  * struct that groupBy/join hash-partition natively. */
+final case class Fp(h1: Long, h2: Long)
+
 /** Per-turn lineage row: which fingerprint each (conv_id, turn_idx) maps
   * to and which cluster its conversation landed in. This is the engine's
   * "recipe" (/root/reference/src/metadata.c:91-95): the restore path
@@ -57,7 +64,7 @@ final case class LineageRow(
     stage: String,
     conv_id: String,
     turn_idx: Int,
-    fp: Long,
+    fp: Fp,
     cluster_id: String)
 
 /** Per-stage metrics row (reference analog: the running dedup counters,
@@ -105,10 +112,14 @@ final case class DedupConfig(
     /** salt buckets for skewed band keys */
     saltBuckets: Int = 8,
     ccMaxIters: Int = 25,
-    ccCheckpointEvery: Int = 1,
+    ccCheckpointEvery: Int = 2,
     seed: Long = 42L) {
   require(numHashes == bands * rowsPerBand, "numHashes must equal bands*rowsPerBand")
   require(simhashBits == 64, "SimHash is fixed at 64 bits")
+  // anchor sampling implements "hash ≡ 0 mod sample" as a mask — only
+  // correct for powers of two; reject configs that would silently
+  // change the (1-1/s)^(L-q+1) miss-probability bound
+  require(Integer.bitCount(substrSample) == 1, "substrSample must be a power of two")
 }
 
 object DedupConfig {

@@ -17,9 +17,15 @@ import org.apache.spark.storage.StorageLevel
   * Each iteration: comp(v) ← min(comp(v), min_{(u,v)∈E} comp(u)), then
   * one pointer-jumping step comp(v) ← comp(comp(v)) which halves path
   * lengths, giving O(log d) convergence on diameter-d components.
-  * Lineage is truncated every `ccCheckpointEvery` iterations
-  * (localCheckpoint here; set `spark.sparkContext.setCheckpointDir` and
-  * swap to `.checkpoint()` for fault-tolerant cluster runs).
+  *
+  * Driver round-trips: ONE job per iteration — the convergence metric
+  * (sum of label hashes, which only ever decreases) rides the
+  * materializing action itself as an `observe()` metric instead of a
+  * separate collect. Plan lineage is truncated every
+  * `checkpointEvery` iterations; when the SparkContext has a
+  * checkpoint dir configured the truncation is a RELIABLE checkpoint
+  * (survives executor loss on a real cluster), otherwise
+  * localCheckpoint (fine for local mode; blocks die with executors).
   *
   * Skew: star-capped candidate generation upstream keeps component
   * diameter small; the groupBy(dst) min-aggregation is a partial
@@ -30,7 +36,7 @@ object ConnectedComponents {
 
   /** edges: DataFrame with string columns (doc_a, doc_b).
     * @return (conv_id, cluster_id) where cluster_id = min member id. */
-  def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 25, checkpointEvery: Int = 1): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 25, checkpointEvery: Int = 2): DataFrame = {
     import spark.implicits._
     // label tables are tiny relative to the corpus; AQE's per-shuffle
     // re-planning adds fixed latency to every one of the loop's jobs —
@@ -43,6 +49,7 @@ object ConnectedComponents {
 
   private def runLoop(spark: SparkSession, edges: DataFrame, maxIters: Int, checkpointEvery: Int): DataFrame = {
     import spark.implicits._
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
     val sym = edges
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))
@@ -53,20 +60,19 @@ object ConnectedComponents {
       .select($"src".as("id"))
       .distinct()
       .withColumn("comp", $"id")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
-    // convergence detection: labels only ever decrease, so the
-    // fixpoint is reached exactly when the label-hash sum is unchanged
-    // — ONE cheap aggregate per iteration instead of a self-join diff
-    // decimal(38,0) accumulator: Long sum would overflow (ANSI throws)
-    def labelSum(df: DataFrame): java.math.BigDecimal = df
-      .agg(sum(xxhash64($"comp").cast("decimal(38,0)")))
-      .collect()(0).getDecimal(0)
+    // convergence detection: labels only ever decrease, so the fixpoint
+    // is reached exactly when the label-hash sum is unchanged.
+    // decimal(38,0) accumulator: Long sum would overflow (ANSI throws).
+    def labelSumCol = sum(xxhash64($"comp").cast("decimal(38,0)")).as("label_sum")
 
-    var prevSum = labelSum(labels)
+    // initial sum: one cheap aggregate over the (just-materialized)
+    // tiny label table, so a no-op first iteration already converges
+    var prevSum: Any = labels.agg(labelSumCol).collect()(0).get(0)
     var iter = 0
     var converged = false
-    val tStart = System.nanoTime()
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (iter < maxIters && !converged) {
       val tIter = System.nanoTime()
       // min component label among neighbors (partial agg before shuffle)
@@ -80,16 +86,22 @@ object ConnectedComponents {
         .select($"id", least($"comp", coalesce($"nbr_comp", $"comp")).as("comp"))
       // pointer jump: comp(v) ← comp(comp(v))
       val compMap = propagated.select($"id".as("cid"), $"comp".as("ccomp"))
-      var next = propagated
+      val jumped = propagated
         .join(compMap, propagated("comp") === compMap("cid"), "left")
         .select($"id", least($"comp", coalesce($"ccomp", $"comp")).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // truncate lineage BEFORE the convergence check — the iterative
-      // plan otherwise doubles per iteration (each step references the
-      // previous labels twice) and analysis alone becomes exponential
-      if ((iter + 1) % checkpointEvery == 0) next = next.localCheckpoint(true)
-      val curSum = labelSum(next)
-      labels.unpersist(false)
+      // one job: materialize the iteration AND deliver the convergence
+      // metric through observe() — no separate driver collect
+      val obs = org.apache.spark.sql.Observation()
+      val observed = jumped.observe(obs, labelSumCol)
+      val truncate = (iter + 1) % checkpointEvery == 0
+      val next =
+        if (truncate && reliable) observed.checkpoint(true)
+        else if (truncate) observed.localCheckpoint(true)
+        else { val p = observed.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p }
+      val curSum = obs.get.getOrElse("label_sum", null)
+      // previous iterations' blocks are dead once `next` is material
+      retired.foreach(_.unpersist(false)); retired.clear()
+      if (!truncate) retired += next
       labels = next
       converged = curSum == prevSum
       prevSum = curSum

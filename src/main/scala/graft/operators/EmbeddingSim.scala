@@ -55,31 +55,64 @@ object EmbeddingSim {
         floor($"cos" * 10000).cast("bigint").as("cos_x10000"))
   }
 
-  /** b-bit random-hyperplane sign sketch of a vector; hyperplanes are
-    * pseudo-random unit-free Gaussians derived from (seed, plane, dim)
-    * via splitmix64 — deterministic, computed on the fly, no stored
-    * model. */
-  def rhpBits(vec: Seq[Float], bits: Int, seed: Long): Long = {
+  /** Hyperplane coefficient matrix for one table: bits × dim uniforms
+    * in [-1,1) derived from (seed, plane, dim) via splitmix64 —
+    * deterministic, no stored model. Materialized ONCE per (partition,
+    * table) instead of re-mixing per (row, plane, dim). */
+  def rhpPlanes(dim: Int, bits: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(bits)(p =>
+      Array.tabulate(dim)(d =>
+        Hashing.mix64(seed ^ (p.toLong << 32) ^ d.toLong).toDouble / Long.MaxValue))
+
+  private def signBits(vec: Seq[Float], planes: Array[Array[Double]]): Long = {
     var sig = 0L
     var p = 0
-    while (p < bits) {
+    while (p < planes.length) {
+      val plane = planes(p)
       var dot = 0.0
       var d = 0
-      while (d < vec.length) {
-        // uniform in [-1,1) from the mixed counter — adequate stand-in
-        // for a Gaussian direction (signs of dot products only)
-        val u = Hashing.mix64(seed ^ (p.toLong << 32) ^ d.toLong).toDouble / Long.MaxValue
-        dot += vec(d) * u
-        d += 1
-      }
+      while (d < plane.length) { dot += vec(d) * plane(d); d += 1 }
       if (dot >= 0) sig |= (1L << p)
       p += 1
     }
     sig
   }
 
+  /** b-bit random-hyperplane sign sketch of a vector (single-shot form;
+    * the distributed path amortizes the plane matrix per partition). */
+  def rhpBits(vec: Seq[Float], bits: Int, seed: Long): Long =
+    signBits(vec, rhpPlanes(vec.length, bits, seed))
+
+  /** (bucket, vec_id) keys for `tables` independent b-bit sketches —
+    * a narrow mapPartitions; plane matrices built once per partition. */
+  def bucketKeys(
+      spark: SparkSession,
+      corpus: DataFrame,
+      bits: Int,
+      tables: Int,
+      seed: Long): DataFrame = {
+    import spark.implicits._
+    corpus.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        var planes: Array[Array[Array[Double]]] = null
+        it.flatMap { case (id, v) =>
+          if (planes == null)
+            planes = Array.tabulate(tables)(t =>
+              rhpPlanes(v.length, bits, Hashing.mix64(seed * 31 + t)))
+          Iterator.tabulate(tables)(t =>
+            (Hashing.mix64(seed + t) ^ (signBits(v, planes(t)) | (t.toLong << 56)), id))
+        }
+      }.toDF("bucket", "vec_id")
+  }
+
   /** Bucketed ANN top-k: `tables` independent b-bit sketches; vectors
-    * sharing any bucket are candidates; exact cosine re-ranks. */
+    * sharing any bucket are candidates; exact cosine re-ranks.
+    *
+    * Skew safety: every bucket is HARD-CAPPED at `bucketCap` members
+    * (deterministic first-by-vec_id) before the self-join, so a hot
+    * bucket — a mega-cluster of near-identical embeddings — contributes
+    * at most cap² candidate rows instead of n². Vectors dropped from an
+    * over-full bucket keep their other `tables-1` probes. */
   def rhpBucketTopK(
       spark: SparkSession,
       corpus: DataFrame,
@@ -89,15 +122,16 @@ object EmbeddingSim {
       seed: Long = 42L,
       bucketCap: Int = 2048): DataFrame = {
     import spark.implicits._
-    val emb = corpus.select($"vec_id", $"embedding")
-      .as[(Long, Seq[Float])]
-    val keys = emb.flatMap { case (id, v) =>
-      Iterator.tabulate(tables)(t =>
-        (Hashing.mix64(seed + t) ^ (rhpBits(v, bits, Hashing.mix64(seed * 31 + t)) | (t.toLong << 56)), id))
-    }.toDF("bucket", "vec_id")
-    // candidate pairs within buckets (capped, both directions kept)
-    val cands = keys.as("a")
-      .join(keys.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
+    val keys = bucketKeys(spark, corpus, bits, tables, seed)
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bucket").orderBy($"vec_id")
+    val capped = keys
+      .withColumn("rn", row_number().over(capW))
+      .filter($"rn" <= bucketCap)
+      .select($"bucket", $"vec_id")
+    // candidate pairs within capped buckets (both directions kept)
+    val cands = capped.as("a")
+      .join(capped.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("query_id"), $"b.vec_id".as("vec_id"))
       .distinct()
     val embD = corpus.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))

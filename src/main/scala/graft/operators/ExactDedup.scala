@@ -21,11 +21,28 @@ import org.apache.spark.sql.functions._
   */
 object ExactDedup {
 
-  /** 64-bit fingerprint of a text column. xxhash64 is Spark-native and
-    * whole-stage-codegen'd; for a cryptographic fingerprint swap in
-    * sha2(col, 256) — the pipeline only needs equality semantics.
-    * (Reference: SHA-1 fingerprints, /root/reference/src/dedup.c:84.) */
-  def fp(c: Column): Column = xxhash64(c)
+  /** Independent-salt constant for the second fingerprint half (the
+    * 64-bit golden-ratio mix constant — public splitmix64 material). */
+  private val FpSalt = 0x9E3779B97F4A7C15L
+
+  /** 128-bit fingerprint of a text column as struct(h1, h2) — two
+    * independently-seeded xxhash64 halves, both whole-stage-codegen'd.
+    *
+    * Width matters: fp alone keys the DESTRUCTIVE paths (uniqueTurns
+    * collapses fp groups; Restore joins lineage⋈unique on fp). At the
+    * 10^12-turn design scale a 64-bit fp expects ~27k birthday
+    * collisions ((10^12)²/2^65), each silently swapping a turn's text;
+    * at 128 bits the expectation is ~10^-15 — negligible, matching the
+    * reference's decision to pay for wide fingerprints
+    * (17-byte SHA-1 prefix, /root/reference/include/config.h:42,
+    * /root/reference/src/dedup.c:84). */
+  def fp(c: Column): Column =
+    struct(xxhash64(c).as("h1"), xxhash64(lit(FpSalt), c).as("h2"))
+
+  /** The 64-bit half used where a flat Long key is structurally needed
+    * (Bloom-filter bits, approximate stats). Never keys a destructive
+    * collapse on its own. */
+  def fp64(c: Column): Column = xxhash64(c)
 
   /** Turn-level dedup: every turn mapped to its fingerprint plus the
     * canonical (first-occurrence) location of that fingerprint.
@@ -34,9 +51,16 @@ object ExactDedup {
     * `is_unique` marks the canonical row (the reference would store this
     * chunk; all others reference it).
     */
-  def dedupTurns(spark: SparkSession, transcripts: DataFrame): DataFrame = {
+  def dedupTurns(spark: SparkSession, transcripts: DataFrame): DataFrame =
+    dedupTurnsBy(spark, transcripts, fp(col("text")))
+
+  /** [[dedupTurns]] with an injectable fingerprint column — lets tests
+    * prove the grouping honors the FULL fingerprint (e.g. a deliberately
+    * h1-colliding fp must still keep distinct texts apart via h2). */
+  private[graft] def dedupTurnsBy(
+      spark: SparkSession, transcripts: DataFrame, fpCol: Column): DataFrame = {
     import spark.implicits._
-    val withFp = transcripts.withColumn("fp", fp($"text"))
+    val withFp = transcripts.withColumn("fp", fpCol)
     // min_by over struct gives the first occurrence per fingerprint in
     // ONE shuffle with partial (map-side) aggregation — no window sort.
     val canonical = withFp

@@ -23,9 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
+  /** Hard cap on BF size (bits): 64 MiB — past this the filter no
+    * longer pays for its shipping cost. */
+  val MaxBloomBits: Long = 67108864L * 8L
+
   /** One-pass BF build over the corpus fingerprints (BF sized like the
     * reference's: bits ≈ items × ln(1/fpp) / ln2², config.h:153-154's
-    * fixed 16 MiB generalized). */
+    * fixed 16 MiB generalized). The filter keys on the fp's h1 half —
+    * equal text ⇒ equal h1, so the no-false-negative invariant holds.
+    *
+    * When `expectedFps` exceeds what [[MaxBloomBits]] can hold at the
+    * requested fpp, the EFFECTIVE fpp degrades; that is logged rather
+    * than silently absorbed (at fpp→1 the prefilter stops filtering and
+    * every row pays the shuffle probe — correct, just not faster). */
   def buildBloom(
       spark: SparkSession,
       corpusFps: DataFrame,
@@ -34,11 +44,17 @@ object IncrementalDedup {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     val items = math.max(expectedFps, 1000L)
-    val numBits = math.min(
-      (items * math.log(1.0 / fpp) / (math.log(2) * math.log(2))).toLong,
-      67108864L * 8L)
+    val wantBits = (items * math.log(1.0 / fpp) / (math.log(2) * math.log(2))).toLong
+    val numBits = math.min(wantBits, MaxBloomBits)
+    if (wantBits > MaxBloomBits) {
+      val effFpp = math.exp(-(numBits.toDouble / items) * math.log(2) * math.log(2))
+      System.err.println(
+        f"[incremental-dedup] WARN bloom bits capped $wantBits -> $numBits; " +
+          f"effective fpp ~ $effFpp%.4f (requested $fpp%.4f) at $items items — " +
+          "prefilter selectivity degrades, correctness unaffected")
+    }
     corpusFps
-      .agg(call_function("graft_bloom_agg", $"fp", lit(items), lit(numBits)).as("bf"))
+      .agg(call_function("graft_bloom_agg", $"fp.h1", lit(items), lit(numBits)).as("bf"))
       .collect()(0).getAs[Array[Byte]]("bf")
   }
 
@@ -55,9 +71,15 @@ object IncrementalDedup {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     val bf = buildBloom(spark, corpusFps, expectedFps, fpp)
+    // broadcast, NOT lit(bf): a literal embeds the (up to 64 MiB)
+    // filter in the expression tree serialized with every task; the
+    // broadcast ships a handle and executors fetch the blob once
+    val bcBf = spark.sparkContext.broadcast(bf)
     val flagged = batch
       .withColumn("fp", ExactDedup.fp($"text"))
-      .withColumn("bf_hit", call_function("graft_bloom_contains", lit(bf), $"fp"))
+      .withColumn("bf_hit", org.apache.spark.sql.GraftColumnBridge.column(
+        graft.plans.BloomContainsBroadcast(bcBf,
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq("fp", "h1")))))
     // only bf-hit rows pay the shuffle probe; bf-miss rows are
     // definitely new and never enter the exchange
     val known = flagged.filter($"bf_hit")

@@ -57,51 +57,41 @@ object MinHashLSH {
   }
 
   /** Candidate pairs from shared band buckets; deduplicated across
-    * bands. Returned with doc_a < doc_b lexicographically. */
+    * bands. Returned with doc_a < doc_b lexicographically.
+    *
+    * Determinism under task retry: every emitted row is a pure function
+    * of the bucket's FULL membership. The per-bucket aggregation first
+    * computes (hub = min(conv_id), n) — map-side combinable, one
+    * shuffle; buckets with n > cap then emit star edges around that
+    * deterministic hub (a narrow map, linear in bucket size), and
+    * buckets with n ≤ cap emit all pairs via a capped self-join. A
+    * stage retry therefore reproduces byte-identical rows — no
+    * mixed-attempt edge loss downstream (the earlier iterator-order hub
+    * was only connectivity-stable, not row-stable). */
   def candidatePairs(spark: SparkSession, keys: Dataset[BandKey], cfg: DedupConfig): DataFrame = {
     import spark.implicits._
     val cap = cfg.bucketCap
-    keys
-      .groupByKey(_.band_key)
-      .flatMapGroups { (_, it) =>
-        // buffer up to cap+1 members; beyond that stream star edges
-        val buf = new scala.collection.mutable.ArrayBuffer[String](16)
-        var overflow = false
-        while (it.hasNext && !overflow) {
-          buf += it.next().conv_id
-          if (buf.length > cap) overflow = true
-        }
-        if (!overflow) {
-          val arr = buf.sorted
-          val pairs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-          var i = 0
-          while (i < arr.length) {
-            var j = i + 1
-            while (j < arr.length) {
-              if (arr(i) != arr(j)) pairs += ((arr(i), arr(j)))
-              j += 1
-            }
-            i += 1
-          }
-          pairs.iterator
-        } else {
-          // overflow: stream star edges around the buffered minimum.
-          // The hub depends on which cap+1 members were buffered first,
-          // so the emitted EDGE SET may differ between task attempts —
-          // connectivity (what CC consumes) is hub-invariant, which is
-          // the property the pipeline relies on.
-          val hub = buf.min
-          val starBuf = buf.iterator.filter(_ != hub).map(c => orient(hub, c))
-          val starRest = it.map(bk => orient(hub, bk.conv_id)).filter(p => p._1 != p._2)
-          (starBuf ++ starRest)
-        }
-      }
-      .toDF("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
+    val k = keys.toDF
+    val stats = k.groupBy($"band_key")
+      .agg(min($"conv_id").as("hub"), count(lit(1)).as("n"))
+    val tagged = k.join(stats, Seq("band_key"))
+    // overflow buckets: star edges around the global-min hub —
+    // linear in bucket size, quadratic blowup impossible
+    val star = tagged
+      .filter($"n" > cap && $"conv_id" =!= $"hub")
+      .select(
+        least($"hub", $"conv_id").as("doc_a"),
+        greatest($"hub", $"conv_id").as("doc_b"))
+    // small buckets: all pairs via self-join (≤ cap²/2 rows per
+    // bucket); equi-join on band_key stays codegen'd — no encoder
+    // round-trip, no cartesian
+    val smallKeys = tagged.filter($"n" <= cap).select($"band_key", $"conv_id")
+    val small = smallKeys.as("a")
+      .join(smallKeys.as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.conv_id") < col("b.conv_id"))
+      .select(col("a.conv_id").as("doc_a"), col("b.conv_id").as("doc_b"))
+    star.unionByName(small).dropDuplicates("doc_a", "doc_b")
   }
-
-  @inline private def orient(a: String, b: String): (String, String) =
-    if (a < b) (a, b) else (b, a)
 
   /** Verify candidates against signature-estimated Jaccard (unbiased,
     * σ ≈ sqrt(J(1-J)/numHashes) ≈ 0.04 at 128 hashes). `slack` lowers

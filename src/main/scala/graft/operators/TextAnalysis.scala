@@ -68,11 +68,12 @@ object TextAnalysis {
   }
 
   /** 64-bit content fingerprint of normalized text (rolling FNV+mix —
-    * [[Hashing.hashString]]); whole-doc identity key for exact dedup
-    * and incremental-skip. Pure map (UDF): not in the codegen hot path
-    * by design — use xxhash64(col) when raw-text identity suffices. */
-  val fingerprintUdf = udf((s: String) => Hashing.hashString(Hashing.normalize(s)))
-
-  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.withColumn("doc_fp", fingerprintUdf(col(textCol)))
+    * [[Hashing.hashString]] via the native codegen'd
+    * [[graft.plans.DocFpExpr]]); whole-doc identity key for
+    * normalization-insensitive dedup — use xxhash64(col) when raw-text
+    * identity suffices. */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.withColumn("doc_fp", call_function("graft_doc_fp", col(textCol)))
+  }
 }

@@ -47,6 +47,27 @@ object GraftKernels {
 
   def sigJaccard(a: ArrayData, b: ArrayData): Double =
     Hashing.signatureJaccard(a.toLongArray(), b.toLongArray())
+
+  def docFp(text: UTF8String): Long =
+    Hashing.hashString(Hashing.normalize(text.toString))
+}
+
+/** normalized-text → 64-bit content fingerprint (FNV+mix over the
+  * whitespace-collapsed, case-folded text). Native so the text-analysis
+  * path stays fully inside whole-stage codegen (its sibling kernels
+  * already are). */
+case class DocFpExpr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires StringType, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_doc_fp"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.docFp(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftKernels.docFp($c)")
+  override protected def withNewChildInternal(newChild: Expression): DocFpExpr =
+    copy(child = newChild)
 }
 
 /** text → Array[Long] MinHash signature. */
@@ -153,6 +174,41 @@ case class SigJaccardExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `might_contain` over a BROADCAST Bloom filter.
+  *
+  * Why not a literal: embedding the serialized filter as `lit(bytes)`
+  * puts up to tens of MiB inside the expression tree, which is
+  * serialized into EVERY task binary. Holding a `Broadcast` handle
+  * instead ships ~bytes of handle per task; executors fetch the blob
+  * once via the block manager (the same topology as the reference's
+  * single in-memory BF shared by all stream workers,
+  * /root/reference/src/bloomfilter.c:96-191).
+  *
+  * Codegen'd: the generated code calls [[probe]] on a referenced
+  * instance; the filter deserializes once per executor (transient lazy).
+  */
+case class BloomContainsBroadcast(
+    bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+    child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires LongType, got ${child.dataType}")
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains_bc"
+  @transient private lazy val filter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bc.value))
+  def probe(h: Long): Boolean = filter.mightContainLong(h)
+  override protected def nullSafeEval(input: Any): Any =
+    probe(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomBc", this, classOf[BloomContainsBroadcast].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.probe($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsBroadcast =
+    copy(child = newChild)
+}
+
 /** Session registration of the graft_* functions. SQL arg forms take
   * the tunables as literal ints (foldable), e.g.
   * `graft_minhash_sig(text, 5, 128, 42)`. */
@@ -177,6 +233,7 @@ object GraftFunctions {
       SubstrAnchorsExpr(cs.head, litInt(cs(1), "q"), litInt(cs(2), "sample"))),
     "graft_ball_keys" -> (cs => BallKeysExpr(cs.head, litInt(cs(1), "blocks"))),
     "graft_sig_jaccard" -> (cs => SigJaccardExpr(cs.head, cs(1))),
+    "graft_doc_fp" -> (cs => DocFpExpr(cs.head)),
     // the internal bloom-filter aggregate/probe (Spark uses them for
     // runtime join filters but does not expose SQL names in 4.1):
     // graft_bloom_agg(longCol, expectedItems, numBits) → binary,

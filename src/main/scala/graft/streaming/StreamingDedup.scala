@@ -11,26 +11,29 @@ import org.apache.spark.sql.functions._
   * an EXTENSION, not parity: continuous transcript ingestion where
   * exact-duplicate turns are dropped as they arrive.
   *
-  * Semantics: `dropDuplicates(fp)` with a watermark on `ts` — state
-  * stores one entry per fingerprint and expires it once the watermark
-  * passes (bounded state at 10^12-turn scale; exact global dedup needs
-  * the batch path). First occurrence in arrival order wins — the
-  * streaming analog of dedup.c:150-173's first-writer-wins.
+  * Semantics: `dropDuplicatesWithinWatermark(fp)` with a watermark on
+  * `ts` — state stores one entry per fingerprint and EXPIRES it once
+  * the watermark passes its event time (plain `dropDuplicates` on a
+  * non-event-time key never evicts; state would grow without bound at
+  * 10^12-turn scale; exact global dedup needs the batch path). First
+  * occurrence within the watermark horizon wins — the streaming analog
+  * of dedup.c:150-173's first-writer-wins.
   */
 object StreamingDedup {
 
   /** transcripts stream → stream of first-occurrence turns only.
     * @param watermark e.g. "10 minutes": how late a duplicate may
-    *        arrive and still be recognized as one. */
+    *        arrive and still be recognized as one; also the state
+    *        retention horizon. */
   def uniqueTurnsStream(
       spark: SparkSession,
       transcripts: DataFrame,
       watermark: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     transcripts
-      .withColumn("fp", xxhash64($"text"))
+      .withColumn("fp", graft.operators.ExactDedup.fp($"text"))
       .withWatermark("ts", watermark)
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
   }
 
   /** Windowed dedup-ratio metrics stream (reference analog: the
@@ -43,7 +46,7 @@ object StreamingDedup {
       watermark: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     transcripts
-      .withColumn("fp", xxhash64($"text"))
+      .withColumn("fp", graft.operators.ExactDedup.fp64($"text"))
       .withWatermark("ts", watermark)
       .groupBy(window($"ts", windowLen))
       .agg(

@@ -69,6 +69,28 @@ class ExactDedupSpec extends SparkSpec {
     assert(expected.subsetOf(pairs), s"missing: ${expected.diff(pairs).take(5)}")
   }
 
+  test("fingerprint is 128-bit: grouping honors BOTH halves (collision safety)") {
+    import spark.implicits._
+    // two distinct texts with a FORCED h1 collision (h1 ≡ 0): were the
+    // pipeline keying on h1 alone, they would merge and restore would
+    // silently swap texts — the 10^12-scale birthday failure mode. The
+    // injectable-fp hook simulates the collision (finding a real
+    // xxhash64 collision needs ~2^32 work).
+    val collidingFp = struct(lit(0L).as("h1"), xxhash64($"text").as("h2"))
+    val two = transcripts.limit(0).unionByName(
+      Seq(
+        ("cA", 0, "user", "text one", "", java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+        ("cB", 0, "user", "text two", "", java.sql.Timestamp.valueOf("2026-01-01 00:00:01")))
+        .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    val d = ExactDedup.dedupTurnsBy(spark, two, collidingFp)
+    assert(d.filter($"is_unique").count() == 2, "h1 collision must NOT merge distinct texts")
+    // and the production fp really carries two distinct halves
+    val parts = two.select(ExactDedup.fp($"text").as("fp"))
+      .select($"fp.h1", $"fp.h2").as[(Long, Long)].collect()
+    assert(parts.forall { case (h1, h2) => h1 != h2 })
+    assert(parts.map(_._1).distinct.length == 2 && parts.map(_._2).distinct.length == 2)
+  }
+
   test("dedup stats are consistent (optsmr.c:316-322 totals invariant)") {
     import spark.implicits._
     val s = ExactDedup.stats(spark, transcripts).collect()(0)

@@ -72,13 +72,14 @@ class HashingSpec extends AnyFunSuite {
     assert(hammingDistance(h1, simhash(shingleHashes(other, 5))) > 16)
   }
 
-  test("charGram simhash: single-char edits stay within verify radius") {
+  test("shingle simhash (live config k=2): two-token edits stay within verify radius") {
     val base = (1 to 120).map(i => s"word$i").mkString(" ")
-    val sb = new StringBuilder(base)
-    sb.setCharAt(40, 'z'); sb.setCharAt(300, 'q')
-    val h1 = simhash(charGramHashes(base))
-    val h2 = simhash(charGramHashes(sb.toString))
-    assert(hammingDistance(h1, h2) <= 10, s"hd=${hammingDistance(h1, h2)}")
+    val edited = base.replace("word40 ", "zzzz ").replace("word90 ", "qqqq ")
+    val k = DedupConfig.default.simhashShingleK
+    val h1 = simhash(shingleHashes(base, k))
+    val h2 = simhash(shingleHashes(edited, k))
+    assert(hammingDistance(h1, h2) <= DedupConfig.default.hammingRadius,
+      s"hd=${hammingDistance(h1, h2)}")
   }
 
   test("simhashBallKeys: HD<=11 pairs share a key; count/selectivity") {
@@ -99,18 +100,6 @@ class HashingSpec extends AnyFunSuite {
     assert(far.isEmpty)
   }
 
-  test("simhashBlocks: pigeonhole — distance < blocks ⇒ shared block") {
-    val h1 = 0x0123456789ABCDEFL
-    val h2 = h1 ^ 0x7L // distance 3, all flips in block 0
-    val b1 = simhashBlocks(h1, 4)
-    val b2 = simhashBlocks(h2, 4)
-    assert(b1.intersect(b2).length == 3)
-    assert(b1.length == 4)
-    // block ids partition the key space: block i keys from different
-    // blocks never equal
-    assert(simhashBlocks(h1, 4).distinct.length == 4)
-  }
-
   test("substringAnchors: shared 64-token block ⇒ shared anchor (high prob)") {
     val block = (1 to 80).map(i => s"blk$i").mkString(" ")
     val a = "prefix one two three " + block + " suffix four"
@@ -121,5 +110,14 @@ class HashingSpec extends AnyFunSuite {
     // unrelated docs share nothing
     val c = (1 to 100).map(i => s"unrel$i").mkString(" ")
     assert(substringAnchors(c, 32, 8).intersect(aa).isEmpty)
+  }
+
+  test("substringAnchors rejects non-power-of-two sample rates") {
+    intercept[IllegalArgumentException] {
+      substringAnchors("a b c", 2, 6)
+    }
+    intercept[IllegalArgumentException] {
+      DedupConfig.default.copy(substrSample = 6)
+    }
   }
 }
