@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
-import graft.sources.TableStore
+import graft.sources.{Layout, TableStore}
 
 /** End-to-end dedup pipeline orchestration: the engine's `main()`
   * (reference analog: the mode dispatch in
@@ -13,12 +13,31 @@ import graft.sources.TableStore
   *
   * Stages (each = one atomic commit of its output tables + metrics):
   *   docs        turns → per-conversation documents
-  *   exact       turn-level fingerprint dedup: lineage + unique store
+  *   exact       turn-level fingerprint dedup: raw lineage + unique store
   *   pairs       doc-level dup pairs from all detectors
   *   clusters    connected components + representatives
+  *   lineage     per-turn lineage backfilled with cluster_id — the full
+  *               "recipe" row (conv_id, turn_idx, fp, cluster_id), the
+  *               reference's recipe-carries-location semantic
+  *               (/root/reference/src/metadata.h:18-31, metadata.c:91-95)
   *   restore     corpus rebuilt from lineage ⋈ unique store
+  *
+  * Physical layout (T11/R4): lineage, clusters and restored are
+  * hash-partitioned on `pbucket` (a stable 64-way hash of conv_id — a
+  * conversation lives in exactly one partition, so a point write patches
+  * one directory); restored rows are sorted by (conv_id, turn_idx)
+  * within files.
   */
 object Pipeline {
+
+  /** Stable partition key: one conversation ⇒ one bucket. */
+  val NumBuckets = 64
+  def pbucket(convId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(convId), lit(NumBuckets.toLong)).cast("int")
+
+  val LineageLayout: Layout = Layout(Seq("pbucket"), Seq("conv_id", "turn_idx"))
+  val ClustersLayout: Layout = Layout(Seq("pbucket"), Seq("conv_id"))
+  val RestoredLayout: Layout = Layout(Seq("pbucket"), Seq("conv_id", "turn_idx"))
 
   final case class Result(
       docs: DataFrame,
@@ -53,14 +72,15 @@ object Pipeline {
     val docs = docsOut("docs").as[Doc]
 
     val exactOut = timed("exact") {
-      store.stage(spark, "exact", Seq("lineage", "unique_turns")) {
+      store.stage(spark, "exact", Seq("lineage_raw", "unique_turns"),
+        Map("lineage_raw" -> LineageLayout)) {
         val turnMap = ExactDedup.dedupTurns(spark, transcripts)
-        val lineage = turnMap.select(
+        val lineageRaw = turnMap.select(
           lit("exact").as("stage"),
           $"conv_id", $"turn_idx", $"fp",
-          lit(null).cast("string").as("cluster_id"))
+          pbucket($"conv_id").as("pbucket"))
         Map(
-          "lineage" -> lineage,
+          "lineage_raw" -> lineageRaw,
           "unique_turns" -> ExactDedup.uniqueTurns(spark, transcripts))
       }
     }
@@ -76,21 +96,43 @@ object Pipeline {
     }
 
     val clustersOut = timed("clusters") {
-      store.stage(spark, "clusters", Seq("clusters")) {
+      store.stage(spark, "clusters", Seq("clusters"),
+        Map("clusters" -> ClustersLayout)) {
         // substring edges link docs that merely SHARE a block — they are
         // duplication lineage, not whole-doc duplicates, so whole-doc
         // clustering uses the exact/minhash/simhash detectors only.
         val wholeDocPairs = pairsOut("dup_pairs")
           .filter($"detector" =!= "substring")
           .as[DupPair]
-        Map("clusters" -> Clustering.assign(spark, docs, wholeDocPairs, cfg).toDF)
+        Map("clusters" -> Clustering.assign(spark, docs, wholeDocPairs, cfg).toDF
+          .withColumn("pbucket", pbucket($"conv_id")))
+      }
+    }
+
+    // per-turn lineage with cluster_id backfilled from the clusters
+    // stage — the complete recipe row. Broadcast when the cluster map is
+    // small; at corpus scale both sides are bucketed on conv_id hash.
+    val lineageOut = timed("lineage") {
+      store.stage(spark, "lineage", Seq("lineage"),
+        Map("lineage" -> LineageLayout)) {
+        val clusterMap = clustersOut("clusters").select($"conv_id", $"cluster_id")
+        Map("lineage" -> exactOut("lineage_raw")
+          .drop("stage")
+          .join(clusterMap, Seq("conv_id"), "left")
+          .select(
+            lit("lineage").as("stage"),
+            $"conv_id", $"turn_idx", $"fp",
+            coalesce($"cluster_id", $"conv_id").as("cluster_id"),
+            $"pbucket"))
       }
     }
 
     val restoreOut = timed("restore") {
-      store.stage(spark, "restore", Seq("restored")) {
+      store.stage(spark, "restore", Seq("restored"),
+        Map("restored" -> RestoredLayout)) {
         Map("restored" -> Restore.restore(
-          spark, exactOut("lineage"), exactOut("unique_turns")))
+          spark, lineageOut("lineage"), exactOut("unique_turns"))
+          .withColumn("pbucket", pbucket($"conv_id")))
       }
     }
 
@@ -102,7 +144,7 @@ object Pipeline {
 
     Result(
       docs = docsOut("docs"),
-      lineage = exactOut("lineage"),
+      lineage = lineageOut("lineage"),
       uniqueTurns = exactOut("unique_turns"),
       dupPairs = pairsOut("dup_pairs"),
       clusters = clustersOut("clusters"),

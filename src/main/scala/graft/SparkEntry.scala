@@ -39,6 +39,40 @@ object SparkEntry {
         $"ts")
   }
 
+  /** Transcripts with PLANTED near-duplicate conversations — makes the
+    * detector driver-queries non-vacuous (the raw sf data has no
+    * near-dups, so pair queries over it return 0 rows and check
+    * nothing). Deterministic and SQL-expressible (lockstep with
+    * [[plantedSelSql]]): every conversation whose numeric id ≡ 3
+    * (mod 10) gets a copy with conv_id || 'd', one token appended to
+    * turn 0's text, and ts shifted +1h (the original stays the
+    * first-writer). One perturbed token of a ≥49-turn doc keeps
+    * Jaccard ≈ 0.94 and SimHash displacement within the verify radius,
+    * so each detector must find EXACTLY the planted pairs. */
+  def plantedTranscriptsView(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = transcriptsView(spark, dir)
+    val copies = t
+      .filter(substring($"conv_id", 2, 18).cast("long") % 10 === 3)
+      .select(
+        concat($"conv_id", lit("d")).as("conv_id"),
+        $"turn_idx",
+        $"role",
+        when($"turn_idx" === 0, concat($"text", lit(" zqxv"))).otherwise($"text").as("text"),
+        $"tool",
+        ($"ts" + expr("INTERVAL 1 HOUR")).as("ts"))
+    t.unionByName(copies)
+  }
+
+  /** DuckDB-side rendering of the planted pair set: (orig, orig||'d')
+    * for every selected conversation — the exact expected output of
+    * each detector over [[plantedTranscriptsView]]. */
+  private def plantedSelSql: String =
+    s"""WITH t AS ($transcriptsViewSql),
+       |sel AS (SELECT DISTINCT conv_id FROM t
+       |        WHERE CAST(substring(conv_id, 2) AS BIGINT) % 10 = 3)
+       |SELECT conv_id AS doc_a, conv_id || 'd' AS doc_b FROM sel""".stripMargin
+
   /** DuckDB-side rendering of the same view (ANSI-ish SQL). */
   private val transcriptsViewSql: String =
     """SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
@@ -110,6 +144,34 @@ object SparkEntry {
     "q_substring_pairs" -> ((s, dir) => {
       val docs = DocAssembly.assemble(s, transcriptsView(s, dir))
       SubstringDetector.dupPairs(s, docs, DedupConfig.default).toDF
+    }),
+    // ---- planted-dup detector checks (full DuckDB oracle: expected
+    // output is exactly the planted pair set; see plantedTranscriptsView)
+    "q_minhash_planted" -> ((s, dir) => {
+      val docs = DocAssembly.assemble(s, plantedTranscriptsView(s, dir))
+      MinHashLSH.dupPairs(s, docs, DedupConfig.default).toDF
+        .select("doc_a", "doc_b")
+    }),
+    "q_simhash_planted" -> ((s, dir) => {
+      val docs = DocAssembly.assemble(s, plantedTranscriptsView(s, dir))
+      SimHashDetector.dupPairs(s, docs, DedupConfig.default).toDF
+        .select("doc_a", "doc_b")
+    }),
+    "q_substring_planted" -> ((s, dir) => {
+      val docs = DocAssembly.assemble(s, plantedTranscriptsView(s, dir))
+      SubstringDetector.dupPairs(s, docs, DedupConfig.default).toDF
+        .select("doc_a", "doc_b")
+    }),
+    "q_cluster_planted_stats" -> ((s, dir) => {
+      import s.implicits._
+      val docs = DocAssembly.assemble(s, plantedTranscriptsView(s, dir))
+      val pairs = ExactDedup.docDupPairs(s, docs.toDF).as[DupPair]
+        .unionByName(MinHashLSH.dupPairs(s, docs, DedupConfig.default))
+        .unionByName(SimHashDetector.dupPairs(s, docs, DedupConfig.default))
+      Clustering.assign(s, docs, pairs, DedupConfig.default).toDF
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"cluster_id").as("n_clusters"))
     }),
     "q_clusters" -> ((s, dir) => {
       import s.implicits._
@@ -272,6 +334,15 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM corpus WHERE corpus.text = batch.text)
          |      THEN 1 ELSE 0 END) AS BIGINT) AS known_rows
          |FROM batch""".stripMargin,
+    "q_minhash_planted" -> plantedSelSql,
+    "q_simhash_planted" -> plantedSelSql,
+    "q_substring_planted" -> plantedSelSql,
+    "q_cluster_planted_stats" ->
+      s"""WITH t AS ($transcriptsViewSql),
+         |sel AS (SELECT DISTINCT conv_id FROM t
+         |        WHERE CAST(substring(conv_id, 2) AS BIGINT) % 10 = 3)
+         |SELECT (SELECT count(DISTINCT conv_id) FROM t) + (SELECT count(*) FROM sel) AS n_docs,
+         |       (SELECT count(DISTINCT conv_id) FROM t) AS n_clusters""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id, CAST($tokenCountSql AS BIGINT) AS n_tokens FROM documents""",
     "q_quality" ->

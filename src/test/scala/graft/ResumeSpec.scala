@@ -22,7 +22,7 @@ class ResumeSpec extends SparkSpec {
     val store = tmpDir("resume")
     val full = clustersOf(store)
     // simulate a crash after the 'pairs' stage: later stages uncommitted
-    for (s <- Seq("clusters", "restore", "metrics"))
+    for (s <- Seq("clusters", "lineage", "restore", "metrics"))
       Files.deleteIfExists(Paths.get(store, s"_manifest.$s.json"))
     val resumed = clustersOf(store)
     assert(resumed == full)
@@ -49,5 +49,63 @@ class ResumeSpec extends SparkSpec {
     Files.writeString(dir.resolve("part-garbage.parquet"), "not parquet")
     val got = clustersOf(store)
     assert(got.size == N)
+  }
+
+  test("lineage rows carry the cluster_id of their conversation; identical after resume") {
+    import spark.implicits._
+    val store = tmpDir("resume4")
+    val res = Pipeline.run(spark, transcripts, store)
+    assert(res.lineage.filter($"cluster_id".isNull).count() == 0)
+    val bad = res.lineage.select($"conv_id", $"cluster_id")
+      .join(res.clusters.select($"conv_id", $"cluster_id".as("expect")), Seq("conv_id"))
+      .filter($"cluster_id" =!= $"expect")
+    assert(bad.count() == 0)
+    // every turn has exactly one lineage row
+    assert(res.lineage.count() == transcripts.count())
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"conv_id", $"turn_idx", $"cluster_id")
+        .as[(String, Int, String)].collect().toSet
+    val first = rows(res.lineage) // materialize BEFORE the rerun overwrites files
+    // crash between lineage and restore: rerun rebuilds identical lineage
+    for (s <- Seq("lineage", "restore", "metrics"))
+      Files.deleteIfExists(Paths.get(store, s"_manifest.$s.json"))
+    val res2 = Pipeline.run(spark, transcripts, store)
+    assert(first == rows(res2.lineage))
+  }
+
+  test("point write patches one conversation's partition; all other files untouched (direct_rw.c analog)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.upper
+    val store = tmpDir("resume5")
+    Pipeline.run(spark, transcripts, store)
+    val ts = new TableStore(store)
+    val conv = transcripts.select($"conv_id").orderBy($"conv_id").as[String].head()
+    // patch derived from the INPUT (not a self-read of the target table)
+    val patch = transcripts.filter($"conv_id" === conv)
+      .select($"conv_id", $"turn_idx", upper($"text").as("text"))
+      .withColumn("pbucket", Pipeline.pbucket($"conv_id"))
+    def files(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(ts.tablePath("restore", "restored"))).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val bucket = patch.select($"pbucket").distinct().as[Int].collect()
+    assert(bucket.length == 1)
+    val before = files()
+    ts.patchPartitions(spark, patch, "restore", "restored",
+      Pipeline.RestoredLayout, Seq("conv_id"))
+    val after = files()
+    val part = s"pbucket=${bucket.head}"
+    assert(before.filterNot(_._1.contains(part)) == after.filterNot(_._1.contains(part)),
+      "files outside the patched partition must be byte-identical (same paths, same mtimes)")
+    // reread: patched conversation uppercased, everything else still
+    // byte-equal to the input corpus
+    val rr = ts.read(spark, "restore", "restored")
+    assert(rr.filter($"conv_id" === conv).filter($"text" =!= upper($"text")).count() == 0)
+    assert(operators.Restore.mismatchCount(
+      spark,
+      transcripts.filter($"conv_id" =!= conv),
+      rr.filter($"conv_id" =!= conv).drop("pbucket")) == 0)
   }
 }
