@@ -31,8 +31,9 @@ object Bench {
       "cluster_assign" -> (() => {
         // docs feeds three detectors + the final assignment join: cache
         // it once (parity with runDedupWorkload) or assembly re-executes
-        // ~4× inside this one query
-        val d = docs().cache()
+        // ~4× inside this one query; repartition first — see
+        // runDedupWorkload's note on AQE-coalesced cache parallelism
+        val d = docs().repartition(s.sparkContext.defaultParallelism * 4).cache()
         try {
           val pairs = ExactDedup.docDupPairs(s, d.toDF).as[DupPair]
             .unionByName(MinHashLSH.dupPairs(s, d, cfg))
@@ -65,12 +66,36 @@ object Bench {
     val localDir =
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
       else System.getProperty("java.io.tmpdir")
-    SparkSession.builder()
-      .master(s"local[$cpus]")
+    // "N,C,M" requests a local-cluster master: N REAL executor JVMs of
+    // C cores and M MiB each — the faithful emulation of a
+    // multi-executor cluster (separate heaps, GCs, shuffle services;
+    // no shared-JVM contention). Plain "K" = in-process local[K].
+    val isCluster = cpus.contains(",")
+    val totalCores =
+      if (isCluster) { val a = cpus.split(","); a(0).toInt * a(1).toInt }
+      else cpus.toInt
+    val builder0 = SparkSession.builder()
+      .master(if (isCluster) s"local-cluster[$cpus]" else s"local[$cpus]")
+    val builder =
+      if (!isCluster) builder0
+      else builder0
+        .config("spark.executor.memory", s"${cpus.split(",")(2).toInt}m")
+        .config("spark.executor.extraClassPath",
+          sys.props("java.class.path"))
+        .config("spark.executor.extraJavaOptions",
+          org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+    builder
       .appName("graft-bench")
       // 4× cores: straggler smoothing for skewed stages; AQE coalesces
       // the small ones back
-      .config("spark.sql.shuffle.partitions", (cpus.toInt * 4).toString)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_SHUFFLE_PARTS", (totalCores * 4).toString))
+      // test corpora are tens of MB across ~32 small files — default
+      // 128 MB split sizing gives a handful of scan tasks and the fused
+      // signature stages inherit that, starving >4-core runs. 8 MB
+      // restores full scan parallelism; at real scale files are bigger
+      // and this simply yields more, still-well-sized tasks.
+      .config("spark.sql.files.maxPartitionBytes", "8388608")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.maxPlanStringLength", "1048576")
@@ -112,8 +137,12 @@ object Bench {
     // stage outputs that later stages consume are cached once — the
     // same role the TableStore stage commits play in Pipeline.run —
     // and explicitly unpersisted when done (repeated bench runs must
-    // not accumulate stale blocks)
-    val docs = DocAssembly.assemble(s, transcripts).cache()
+    // not accumulate stale blocks). The docs cache is REPARTITIONED to
+    // cores×4 first: AQE coalesces the assembly shuffle to barely
+    // defaultParallelism partitions, and every signature kernel
+    // downstream would inherit that wave-quantized parallelism.
+    val docs = DocAssembly.assemble(s, transcripts)
+      .repartition(s.sparkContext.defaultParallelism * 4).cache()
     docs.count(); lap("doc_assembly")
     val turnMap = ExactDedup.dedupTurns(s, transcripts).cache()
     turnMap.count(); lap("turn_dedup")

@@ -15,8 +15,9 @@ import org.apache.spark.storage.StorageLevel
   * /root/reference/src/dedup.c:150-173).
   *
   * Each iteration: comp(v) ← min(comp(v), min_{(u,v)∈E} comp(u)), then
-  * one pointer-jumping step comp(v) ← comp(comp(v)) which halves path
-  * lengths, giving O(log d) convergence on diameter-d components.
+  * two pointer-jumping steps comp(v) ← comp(comp(v)) which cut path
+  * lengths 4×, giving O(log d) convergence on diameter-d components
+  * with few driver round-trips.
   *
   * Driver round-trips: ONE job per iteration — the convergence metric
   * (sum of label hashes, which only ever decreases) rides the
@@ -40,27 +41,71 @@ object ConnectedComponents {
     import spark.implicits._
     // label tables are tiny relative to the corpus; AQE's per-shuffle
     // re-planning adds fixed latency to every one of the loop's jobs —
-    // turn it off for the loop, restore afterwards
+    // turn it off for the loop, restore afterwards (shuffle partitions
+    // are resized to the label count inside runLoop for the same reason)
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val codegenBefore = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // every iteration's plan carries fresh expression ids, so whole-stage
+    // codegen JANINO-COMPILES anew each iteration (~0.5-1s of pure driver
+    // serial time per iteration) for generated code that then processes a
+    // tiny label table — interpreted eval is strictly faster here
+    // (-Dgraft.cc.codegen=true re-enables it, for A/B probing)
+    if (!sys.props.get("graft.cc.codegen").contains("true"))
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try runLoop(spark, edges, maxIters, checkpointEvery)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+      spark.conf.set("spark.sql.codegen.wholeStage", codegenBefore)
+    }
   }
 
   private def runLoop(spark: SparkSession, edges: DataFrame, maxIters: Int, checkpointEvery: Int): DataFrame = {
     import spark.implicits._
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    val sym = edges
+    // the distinct over the (possibly expensive) edge input runs at
+    // session parallelism — that part should be wide
+    val symWide = edges
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = sym
+    var labels = symWide
       .select($"src".as("id"))
       .distinct()
       .withColumn("comp", $"id")
       .localCheckpoint(true)
+
+    // size the loop's shuffles to the LABEL table, not the session
+    // default: per-task overhead dominates below ~100k rows/partition,
+    // and with AQE off nothing coalesces the empties. At 10^9 labels
+    // this climbs back to the session setting.
+    val nLabels = labels.count()
+    if (nLabels == 0) {
+      symWide.unpersist(false)
+      return labels.select($"id".as("conv_id"), $"comp".as("cluster_id"))
+    }
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // ~16k rows/partition: small enough that iterations use the cores
+    // (interpreted join work is ~µs/row), large enough that task
+    // scheduling doesn't dominate
+    val loopParts = math.max(1L, math.min(sessionParts.toLong, (nLabels + 16383L) / 16384L))
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+
+    // the loop re-reads sym every iteration: coalesce its cached
+    // partitioning down to loopParts so each iteration's map stages are
+    // a handful of right-sized tasks, not sessionParts tiny ones
+    val sym =
+      if (symWide.rdd.getNumPartitions <= loopParts * 2) symWide
+      else {
+        val c = symWide.coalesce(loopParts.toInt).persist(StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        symWide.unpersist(false)
+        c
+      }
 
     // convergence detection: labels only ever decrease, so the fixpoint
     // is reached exactly when the label-hash sum is unchanged.
@@ -84,11 +129,18 @@ object ConnectedComponents {
       val propagated = labels
         .join(nbrMin, Seq("id"), "left")
         .select($"id", least($"comp", coalesce($"nbr_comp", $"comp")).as("comp"))
-      // pointer jump: comp(v) ← comp(comp(v))
+      // pointer jump ×2: comp(v) ← comp(comp(v)), twice — quadruples
+      // path compression per driver round-trip. The repeated subtrees
+      // share physical exchanges (ReuseExchange), so the second jump
+      // costs two more small shuffles, not a recompute.
       val compMap = propagated.select($"id".as("cid"), $"comp".as("ccomp"))
-      val jumped = propagated
+      val jump1 = propagated
         .join(compMap, propagated("comp") === compMap("cid"), "left")
         .select($"id", least($"comp", coalesce($"ccomp", $"comp")).as("comp"))
+      val compMap2 = jump1.select($"id".as("cid2"), $"comp".as("ccomp2"))
+      val jumped = jump1
+        .join(compMap2, jump1("comp") === compMap2("cid2"), "left")
+        .select($"id", least($"comp", coalesce($"ccomp2", $"comp")).as("comp"))
       // one job: materialize the iteration AND deliver the convergence
       // metric through observe() — no separate driver collect
       val obs = org.apache.spark.sql.Observation()

@@ -59,38 +59,75 @@ object MinHashLSH {
   /** Candidate pairs from shared band buckets; deduplicated across
     * bands. Returned with doc_a < doc_b lexicographically.
     *
-    * Determinism under task retry: every emitted row is a pure function
-    * of the bucket's FULL membership. The per-bucket aggregation first
-    * computes (hub = min(conv_id), n) — map-side combinable, one
-    * shuffle; buckets with n > cap then emit star edges around that
-    * deterministic hub (a narrow map, linear in bucket size), and
-    * buckets with n ≤ cap emit all pairs via a capped self-join. A
-    * stage retry therefore reproduces byte-identical rows — no
-    * mixed-attempt edge loss downstream (the earlier iterator-order hub
-    * was only connectivity-stable, not row-stable). */
+    * Shape: ONE shuffle (repartition on band_key + in-partition sort by
+    * (band_key, conv_id)), then a streaming single pass. Because groups
+    * arrive sorted, the FIRST member of a bucket is its global-min
+    * conv_id — so every emitted row is a pure function of the bucket's
+    * full membership and task retries reproduce byte-identical output
+    * (no mixed-attempt edge loss downstream).
+    *
+    * Memory: the pass buffers at most cap+1 members; buckets that
+    * overflow the cap switch to streaming STAR edges around the
+    * deterministic hub (the sorted-first member) — linear in bucket
+    * size, so a mega-template bucket cannot go quadratic. */
   def candidatePairs(spark: SparkSession, keys: Dataset[BandKey], cfg: DedupConfig): DataFrame = {
     import spark.implicits._
     val cap = cfg.bucketCap
-    val k = keys.toDF
-    val stats = k.groupBy($"band_key")
-      .agg(min($"conv_id").as("hub"), count(lit(1)).as("n"))
-    val tagged = k.join(stats, Seq("band_key"))
-    // overflow buckets: star edges around the global-min hub —
-    // linear in bucket size, quadratic blowup impossible
-    val star = tagged
-      .filter($"n" > cap && $"conv_id" =!= $"hub")
-      .select(
-        least($"hub", $"conv_id").as("doc_a"),
-        greatest($"hub", $"conv_id").as("doc_b"))
-    // small buckets: all pairs via self-join (≤ cap²/2 rows per
-    // bucket); equi-join on band_key stays codegen'd — no encoder
-    // round-trip, no cartesian
-    val smallKeys = tagged.filter($"n" <= cap).select($"band_key", $"conv_id")
-    val small = smallKeys.as("a")
-      .join(smallKeys.as("b"),
-        col("a.band_key") === col("b.band_key") && col("a.conv_id") < col("b.conv_id"))
-      .select(col("a.conv_id").as("doc_a"), col("b.conv_id").as("doc_b"))
-    star.unionByName(small).dropDuplicates("doc_a", "doc_b")
+    // pin the partition count: an un-numbered repartition(col) is fair
+    // game for AQE coalescing, and the PAIR GENERATION downstream of
+    // this exchange is the detector's heaviest stage — coalescing it to
+    // a handful of tasks starves every core past the first few
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    keys.toDF
+      .repartition(parts, col("band_key"))
+      .sortWithinPartitions(col("band_key"), col("conv_id"))
+      .as[BandKey]
+      .mapPartitions { it =>
+        val in = it.buffered
+        new scala.collection.AbstractIterator[(String, String)] {
+          private var pending: Iterator[(String, String)] = Iterator.empty
+          private def allPairs(arr: scala.collection.IndexedSeq[String]): Iterator[(String, String)] =
+            for {
+              i <- arr.indices.iterator
+              j <- (i + 1 until arr.length).iterator
+              if arr(i) != arr(j)
+            } yield (arr(i), arr(j))
+          /** Consume the next bucket and queue its edges. */
+          private def advance(): Unit = {
+            if (!in.hasNext) return
+            val key = in.head.band_key
+            val hub = in.head.conv_id // sorted ⇒ bucket min
+            val buf = new scala.collection.mutable.ArrayBuffer[String](16)
+            var overflow = false
+            while (in.hasNext && in.head.band_key == key && !overflow) {
+              buf += in.next().conv_id
+              if (buf.length > cap) overflow = true
+            }
+            if (!overflow) pending = allPairs(buf)
+            else {
+              // stream star edges for the rest of the bucket without
+              // buffering it; hub ≤ every member (sorted), orientation
+              // is already (hub, member)
+              val bufEdges = buf.iterator.filter(_ != hub).map(c => (hub, c))
+              val restEdges = new scala.collection.AbstractIterator[(String, String)] {
+                def hasNext: Boolean = in.hasNext && in.head.band_key == key
+                def next(): (String, String) = (hub, in.next().conv_id)
+              }.filter(_._2 != hub)
+              pending = bufEdges ++ restEdges
+            }
+          }
+          def hasNext: Boolean = {
+            while (!pending.hasNext && in.hasNext) advance()
+            pending.hasNext
+          }
+          def next(): (String, String) = {
+            if (!hasNext) throw new NoSuchElementException
+            pending.next()
+          }
+        }
+      }
+      .toDF("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   /** Verify candidates against signature-estimated Jaccard (unbiased,

@@ -9,51 +9,76 @@ import graft.corpus.CorpusGen
   * stand-in per the driver instruction = the same job at local[N] and
   * local[4N] on identical input).
   *
-  *   sbt "runMain graft.tools.Scaling [nConvs] [N]"   (defaults 30000, 8)
+  *   sbt "runMain graft.tools.Scaling [nConvs] [N]"   (defaults 30000, 2)
   *
   * The input is the deterministic synthetic corpus materialized to
-  * parquet ONCE, then the identical dedup workload (doc assembly, turn
-  * dedup, all detectors, clustering, restore) runs at local[N] and
-  * local[4N]. Prints one JSON line with throughput at both sizes and
+  * parquet ONCE; then each measurement runs in a FRESH forked JVM with
+  * heap proportional to its core count (6 GiB/core) — the honest
+  * emulation of "N vs 4N executors of identical per-executor size":
+  * memory, GC threads and codegen caches all scale with the cluster
+  * size instead of being shared across measurements. Prints one JSON
+  * line with throughput at both sizes and
   * efficiency = thpt(4N) / (4 × thpt(N)).
   */
 object Scaling {
   def main(args: Array[String]): Unit = {
     val nConvs = if (args.length > 0) args(0).toLong else 30000L
-    val n = if (args.length > 1) args(1).toInt else 8
+    val n = if (args.length > 1) args(1).toInt else 2
     val input = s"/tmp/graft_scaling_corpus_$nConvs"
 
-    // materialize the corpus once (not timed)
-    if (!new java.io.File(s"$input/_SUCCESS").exists()) {
+    // materialize the corpus once (not timed) and count its turns
+    var turns = 0L
+    locally {
       val s0 = Bench.buildSession("32")
       s0.sparkContext.setLogLevel("WARN")
-      CorpusGen.transcripts(s0, nConvs).write.mode("overwrite").parquet(input)
+      if (!new java.io.File(s"$input/_SUCCESS").exists())
+        CorpusGen.transcripts(s0, nConvs).write.mode("overwrite").parquet(input)
+      turns = s0.read.parquet(input).count()
       s0.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     }
 
-    var turns = 0L
-    def measureOnce(cpus: Int, warm: Boolean): Double = {
-      val spark = Bench.buildSession(cpus.toString)
-      spark.sparkContext.setLogLevel("WARN")
-      val t = spark.read.parquet(input)
-      turns = t.count()
-      if (warm) Bench.runDedupWorkload(spark, t.limit(2000))
-      val secs = Bench.runDedupWorkload(spark, t)
-      spark.stop()
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      secs
-    }
-
-    // interleave sizes over `rounds` passes and take the min per size:
-    // damps both JIT warmup and time-varying host noise (a quiet or
-    // noisy patch of wall-clock hits both sizes equally)
+    // one forked JVM per SAMPLE (heap ∝ cores): inside the worker, a
+    // full warm pass JIT-compiles the hot paths, then one measured run
+    // — a cold-JVM measurement would re-pay C2 compilation of Spark
+    // itself (~60s) inside the timed run. Samples of the two sizes are
+    // INTERLEAVED (N, 4N, N, 4N, …) so host-throughput drift between
+    // measurement windows hits both sizes equally; min per size damps
+    // the remaining noise.
     val rounds = sys.env.getOrElse("GRAFT_SCALING_ROUNDS", "2").toInt
+    // GRAFT_SCALING_MODE=cluster → each size is a local-cluster of that
+    // many REAL 2-core/12GiB executor JVMs (the driver JVM stays small);
+    // default "local" → in-process local[cores]
+    val mode = sys.env.getOrElse("GRAFT_SCALING_MODE", "local")
+    def sizeSpec(size: Int): String =
+      if (mode == "cluster") s"$size,2,12288" else size.toString
+    def measureSize(size: Int, roundsInJvm: Int): List[Double] = {
+      import scala.sys.process._
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
+        .defaultModuleOptions().trim.split("\\s+").toSeq
+      val driverHeapGb = if (mode == "cluster") 8 else math.max(4, size * 6)
+      val cmd = Seq(javaBin) ++ moduleOpts ++ Seq(
+        s"-Xmx${driverHeapGb}g",
+        "-Dspark.ui.enabled=false",
+        "-Dspark.sql.session.timeZone=UTC",
+        "-cp", sys.props("java.class.path"),
+        "graft.tools.ScalingWorker", input, sizeSpec(size), roundsInJvm.toString)
+      val secs = scala.collection.mutable.ListBuffer.empty[Double]
+      val rc = Process(cmd).!(ProcessLogger(
+        line =>
+          if (line.startsWith("SCALING_WORKER_SECS="))
+            secs += line.stripPrefix("SCALING_WORKER_SECS=").toDouble,
+        err => System.err.println(err)))
+      require(rc == 0 && secs.nonEmpty, s"worker failed: rc=$rc")
+      secs.toList
+    }
     val samples = scala.collection.mutable.Map[Int, List[Double]]().withDefaultValue(Nil)
     for (r <- 1 to rounds; cpus <- Seq(n, 4 * n)) {
-      val s = measureOnce(cpus, warm = r == 1)
-      samples(cpus) = samples(cpus) :+ s
-      System.err.println(f"[scaling] round=$r cpus=$cpus secs=$s%.1f")
+      val s = measureSize(cpus, 1)
+      samples(cpus) = samples(cpus) ++ s
+      System.err.println(f"[scaling] round=$r cpus=$cpus secs=${s.head}%.1f")
     }
     val secsN = samples(n).min
     val secs4N = samples(4 * n).min
@@ -62,6 +87,25 @@ object Scaling {
     val eff = thpt4N / (4.0 * thptN)
     def arr(xs: List[Double]) = xs.map(x => f"$x%.1f").mkString("[", ",", "]")
     println(
-      s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","n_cpus":$n,"n4_cpus":${4 * n},"turns":$turns,"sec_n":${f"$secsN%.3f"},"sec_4n":${f"$secs4N%.3f"},"turns_per_sec_n":${f"$thptN%.1f"},"turns_per_sec_4n":${f"$thpt4N%.1f"},"samples_n":${arr(samples(n))},"samples_4n":${arr(samples(4 * n))},"n_convs":$nConvs}""")
+      s"""{"metric":"scaling_efficiency","value":${f"$eff%.3f"},"unit":"ratio","n_cpus":$n,"n4_cpus":${4 * n},"turns":$turns,"sec_n":${f"$secsN%.3f"},"sec_4n":${f"$secs4N%.3f"},"turns_per_sec_n":${f"$thptN%.1f"},"turns_per_sec_4n":${f"$thpt4N%.1f"},"samples_n":${arr(samples(n))},"samples_4n":${arr(samples(4 * n))},"n_convs":$nConvs,"heap_per_core_gb":6}""")
+  }
+}
+
+/** Per-size measurement JVM: one full warm pass (JIT + codegen caches),
+  * then `rounds` timed runs of the dedup workload at local[cpus] over a
+  * pre-materialized corpus. Prints one SCALING_WORKER_SECS=<secs> line
+  * per timed run. */
+object ScalingWorker {
+  def main(args: Array[String]): Unit = {
+    val Array(input, cpus, roundsStr) = args
+    val spark = Bench.buildSession(cpus)
+    spark.sparkContext.setLogLevel("WARN")
+    val t = spark.read.parquet(input)
+    Bench.runDedupWorkload(spark, t) // warm pass, untimed
+    for (_ <- 1 to roundsStr.toInt) {
+      val secs = Bench.runDedupWorkload(spark, t)
+      println(f"SCALING_WORKER_SECS=$secs%.3f")
+    }
+    spark.stop()
   }
 }

@@ -70,6 +70,34 @@ class IncrementalSkewStreamSpec extends SparkSpec {
     assert(got == expected, s"got $got expected $expected")
   }
 
+  test("streaming dedup state EXPIRES past the watermark (bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def mkTurns(prefix: String, hour: Int, n: Int): Seq[Turn] =
+      (0 until n).map(i => Turn(s"c$prefix$i", 0, "user", s"text $prefix $i", "",
+        java.sql.Timestamp.valueOf(f"2026-01-01 $hour%02d:00:00")))
+    val mem = MemoryStream[Turn]
+    val unique = StreamingDedup.uniqueTurnsStream(spark, mem.toDF(), "10 minutes")
+    val q = unique.writeStream.format("memory").queryName("uniq_evict")
+      .outputMode("append").start()
+    def stateRows: Long = q.recentProgress.reverse.iterator
+      .flatMap(_.stateOperators.headOption).map(_.numRowsTotal)
+      .nextOption().getOrElse(-1L)
+    mem.addData(mkTurns("a", 0, 100)); q.processAllAvailable()
+    mem.addData(mkTurns("b", 1, 100)); q.processAllAvailable()
+    val afterB = stateRows
+    mem.addData(mkTurns("c", 2, 100)); q.processAllAvailable()
+    val afterC = stateRows
+    q.stop()
+    // 300 distinct fps seen; with a 10-minute horizon and hour-spaced
+    // batches, old entries MUST be evicted — an fp-keyed dropDuplicates
+    // (the bug this guards against) would hold all 300 forever
+    assert(afterC <= 110, s"state grew without bound: $afterC rows after 300 fps")
+    assert(afterC <= afterB, s"state must not accumulate: $afterB -> $afterC")
+    // all 300 first occurrences were emitted
+    assert(spark.table("uniq_evict").count() == 300)
+  }
+
   test("streaming windowed dedup stats emit per-window counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -116,6 +116,29 @@ class TrainingOpsSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => b == a + 100000L }, pairs.take(5).toString)
   }
 
+  test("ANN bucket cap bounds hot-bucket candidate fan-out (no quadratic blowup)") {
+    import spark.implicits._
+    // 2000 IDENTICAL embeddings — every table hashes them all to ONE
+    // bucket. Uncapped, the candidate self-join would emit ~2000² = 4M
+    // rows; with cap=32 it must stay ≤ tables × cap × (cap-1).
+    val v = Seq.tabulate(16)(i => (i + 1).toFloat)
+    val corpus = (0L until 2000L).map(id => (id, v)).toDS().toDF("vec_id", "embedding")
+      .repartition(8)
+    val tables = 4
+    val keys = EmbeddingSim.bucketKeys(spark, corpus, bits = 12, tables = tables, seed = 42L)
+    assert(keys.select($"bucket").distinct().count() == tables)
+    val cap = 32
+    val topk = EmbeddingSim.rhpBucketTopK(spark, corpus, k = 5, bits = 12,
+      tables = tables, seed = 42L, bucketCap = cap)
+    // each surviving query sees at most cap-1 distinct neighbors
+    val perQuery = topk.groupBy($"query_id").count().agg(org.apache.spark.sql.functions.max("count"))
+      .collect()(0).getLong(0)
+    assert(perQuery <= 5)
+    // and the number of queries that produced results is bounded by the
+    // capped bucket membership, not the full 2000
+    assert(topk.select($"query_id").distinct().count() <= (tables * cap).toLong)
+  }
+
   test("multimodal: features deterministic, planted dups found, frame sampling shape") {
     import spark.implicits._
     val media = Multimodal.syntheticMedia(spark, 64)
