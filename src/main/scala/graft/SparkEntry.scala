@@ -73,6 +73,12 @@ object SparkEntry {
        |        WHERE CAST(substring(conv_id, 2) AS BIGINT) % 10 = 3)
        |SELECT conv_id AS doc_a, conv_id || 'd' AS doc_b FROM sel""".stripMargin
 
+  /** Empty (doc_a, doc_b, detector) result — the expected output of
+    * every detector over the raw (dup-free) sf corpora. */
+  private val emptyPairsSql: String =
+    """SELECT CAST(NULL AS VARCHAR) AS doc_a, CAST(NULL AS VARCHAR) AS doc_b,
+      |  CAST(NULL AS VARCHAR) AS detector WHERE 1 = 0""".stripMargin
+
   /** DuckDB-side rendering of the same view (ANSI-ish SQL). */
   private val transcriptsViewSql: String =
     """SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
@@ -130,20 +136,25 @@ object SparkEntry {
           sum(when($"text_in".isNull || $"text_out".isNull || $"text_in" =!= $"text_out", 1L)
             .otherwise(0L)).as("mismatches"))
     }),
-    // ---- near-dup detectors + clustering (no DuckDB-expressible
-    // oracle: they depend on engine-side hash functions; driver records
-    // rows-only checks, semantics are covered by the ScalaTest oracles)
+    // ---- detectors over the RAW corpus: a no-false-positive check.
+    // The sf corpora contain no near-duplicate conversations, so the
+    // contract is an EMPTY result — the oracle asserts emptiness (the
+    // recall direction is covered by the *_planted twins below, whose
+    // expected output is the exact planted pair set).
     "q_minhash_pairs" -> ((s, dir) => {
       val docs = DocAssembly.assemble(s, transcriptsView(s, dir))
       MinHashLSH.dupPairs(s, docs, DedupConfig.default).toDF
+        .select("doc_a", "doc_b", "detector")
     }),
     "q_simhash_pairs" -> ((s, dir) => {
       val docs = DocAssembly.assemble(s, transcriptsView(s, dir))
       SimHashDetector.dupPairs(s, docs, DedupConfig.default).toDF
+        .select("doc_a", "doc_b", "detector")
     }),
     "q_substring_pairs" -> ((s, dir) => {
       val docs = DocAssembly.assemble(s, transcriptsView(s, dir))
       SubstringDetector.dupPairs(s, docs, DedupConfig.default).toDF
+        .select("doc_a", "doc_b", "detector")
     }),
     // ---- planted-dup detector checks (full DuckDB oracle: expected
     // output is exactly the planted pair set; see plantedTranscriptsView)
@@ -173,6 +184,22 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           countDistinct($"cluster_id").as("n_clusters"))
     }),
+    // full cluster-membership oracle over the planted corpus: every
+    // conversation's (cluster_id, representative, is_representative) is
+    // exactly predictable — planted copies join their original's
+    // cluster (cluster_id = lexicographic min member = the original;
+    // representative = first occurrence by (ts_min, conv_id) = the
+    // original, whose copy is ts-shifted +1h), everyone else is a
+    // singleton.
+    "q_cluster_planted_members" -> ((s, dir) => {
+      import s.implicits._
+      val docs = DocAssembly.assemble(s, plantedTranscriptsView(s, dir))
+      val pairs = ExactDedup.docDupPairs(s, docs.toDF).as[DupPair]
+        .unionByName(MinHashLSH.dupPairs(s, docs, DedupConfig.default))
+        .unionByName(SimHashDetector.dupPairs(s, docs, DedupConfig.default))
+      Clustering.assign(s, docs, pairs, DedupConfig.default).toDF
+        .select($"conv_id", $"cluster_id", $"representative", $"is_representative")
+    }),
     "q_clusters" -> ((s, dir) => {
       import s.implicits._
       val docs = DocAssembly.assemble(s, transcriptsView(s, dir))
@@ -199,10 +226,16 @@ object SparkEntry {
         .groupBy(TextAnalysis.langId($"text").as("pred_lang"))
         .agg(count(lit(1)).as("n"))
     }),
+    // fingerprint invariant oracle: doc_fp = hash(normalized text), so
+    // the fp is injective on the corpus exactly when distinct-fp count
+    // equals distinct-normalized-text count (also pins the
+    // normalization granularity: lowercase + whitespace collapse).
     "q_doc_fingerprint" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.fingerprint(readT(s, dir, "documents"))
-        .select($"doc_id", $"doc_fp")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"doc_fp").as("n_distinct_fp"))
     }),
     "q_token_jaccard" -> ((s, dir) => {
       NgramJaccard.pairs(s, readT(s, dir, "documents"),
@@ -221,10 +254,30 @@ object SparkEntry {
     }),
     "q_embed_ann" -> ((s, dir) =>
       EmbeddingSim.rhpBucketTopK(s, readT(s, dir, "embeddings"), k = 5)),
-    // ---- multimodal plumbing (synthetic media; rows-only check) ----
+    // ANN recall oracle: plant an EXACT copy (vec_id + 10^7) of every
+    // vec_id ≡ 3 (mod 100). Identical vectors share every RHP bucket
+    // (same sign bits in all tables), so the detector must emit each
+    // planted pair in both directions at rank 1 (cos = 1.0); the raw
+    // corpus is near-orthogonal (top-1 cos ≈ 0.35), so nothing else
+    // reaches cos ≥ 0.999.
+    "q_embed_ann_planted" -> ((s, dir) => {
+      import s.implicits._
+      val e = readT(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val copies = e.filter($"vec_id" % 100 === 3)
+        .select(($"vec_id" + 10000000L).as("vec_id"), $"embedding")
+      EmbeddingSim.rhpBucketTopK(s, e.unionByName(copies), k = 5)
+        .filter($"cos_x10000" >= 9990)
+        .select($"query_id", $"neighbor_id")
+    }),
+    // ---- multimodal: full oracle — the synthetic corpus's dup
+    // structure (id ≡ 7 mod 8 duplicates id-3) is closed-form, so
+    // rep/is_unique/n_refs are exactly predictable without engine-side
+    // fingerprints (content_fp itself is engine hash, excluded).
     "q_media_dedup" -> ((s, _) => {
+      import s.implicits._
       val feats = Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, 512))
       Multimodal.dedupMedia(s, feats)
+        .select($"media_id", $"kind", $"rep_media_id", $"is_unique", $"n_refs")
     }),
     "q_incremental_dedup" -> ((s, dir) => {
       import s.implicits._
@@ -337,6 +390,64 @@ object SparkEntry {
     "q_minhash_planted" -> plantedSelSql,
     "q_simhash_planted" -> plantedSelSql,
     "q_substring_planted" -> plantedSelSql,
+    // raw-corpus detector runs must emit NOTHING (no-false-positive
+    // guard: the sf corpora contain no near-duplicate conversations)
+    "q_minhash_pairs" -> emptyPairsSql,
+    "q_simhash_pairs" -> emptyPairsSql,
+    "q_substring_pairs" -> emptyPairsSql,
+    "q_cluster_planted_members" ->
+      s"""WITH t AS ($transcriptsViewSql),
+         |ids AS (SELECT DISTINCT conv_id FROM t),
+         |sel AS (SELECT conv_id FROM ids
+         |        WHERE CAST(substring(conv_id, 2) AS BIGINT) % 10 = 3)
+         |SELECT conv_id, conv_id AS cluster_id, conv_id AS representative,
+         |       true AS is_representative
+         |FROM ids
+         |UNION ALL
+         |SELECT conv_id || 'd' AS conv_id, conv_id AS cluster_id,
+         |       conv_id AS representative, false AS is_representative
+         |FROM sel""".stripMargin,
+    "q_doc_fingerprint" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_distinct_fp
+        |FROM documents""".stripMargin,
+    "q_embed_ann_planted" ->
+      """WITH sel AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 3)
+        |SELECT vec_id AS query_id, vec_id + 10000000 AS neighbor_id FROM sel
+        |UNION ALL
+        |SELECT vec_id + 10000000 AS query_id, vec_id AS neighbor_id FROM sel""".stripMargin,
+    "q_media_dedup" ->
+      """WITH m AS (SELECT unnest(range(0, 512)) AS id)
+        |SELECT id AS media_id,
+        |  CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CASE WHEN id % 8 = 7 THEN id - 3 ELSE id END AS rep_media_id,
+        |  (id % 8 <> 7) AS is_unique,
+        |  CASE WHEN id % 8 IN (4, 7) THEN 2 ELSE 1 END AS n_refs
+        |FROM m""".stripMargin,
+    "q_ngram_jaccard_2" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))) AS gram
+        |  FROM toks WHERE len(t) >= 2),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+        |df AS (SELECT gram, count(*) AS d FROM grams GROUP BY gram),
+        |rare AS (SELECT grams.doc_id, grams.gram FROM grams JOIN df USING (gram) WHERE df.d <= 1000),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM rare a JOIN rare b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT shared.doc_a, shared.doc_b, shared.inter,
+        |  sa.n_grams AS na, sb.n_grams AS nb,
+        |  CAST(floor(10000.0 * shared.inter / (sa.n_grams + sb.n_grams - shared.inter)) AS BIGINT) AS jaccard_x10000
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = shared.doc_a
+        |JOIN sizes sb ON sb.doc_id = shared.doc_b
+        |WHERE 1.0 * shared.inter / (sa.n_grams + sb.n_grams - shared.inter) >= 0.4""".stripMargin,
     "q_cluster_planted_stats" ->
       s"""WITH t AS ($transcriptsViewSql),
          |sel AS (SELECT DISTINCT conv_id FROM t

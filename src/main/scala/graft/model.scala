@@ -109,8 +109,6 @@ final case class DedupConfig(
       * fall back to star edges around the bucket-min doc (connectivity
       * preserved for CC, quadratic blowup avoided — SURVEY.md §4 skew). */
     bucketCap: Int = 64,
-    /** salt buckets for skewed band keys */
-    saltBuckets: Int = 8,
     ccMaxIters: Int = 25,
     ccCheckpointEvery: Int = 2,
     seed: Long = 42L) {

@@ -19,14 +19,27 @@ import org.apache.spark.storage.StorageLevel
   * lengths 4×, giving O(log d) convergence on diameter-d components
   * with few driver round-trips.
   *
+  * Labels are DICTIONARY-ENCODED before the loop: each distinct node id
+  * gets a dense 64-bit code (shuffle-partition id << 40 | in-partition
+  * rank — a pure function of the data, so task retries reproduce it),
+  * and every loop shuffle moves 8-byte longs instead of strings. The
+  * string cluster_id contract (= lexicographic min member) is restored
+  * after convergence by a per-component min(conv_id) regroup, so the
+  * output is bit-identical to the un-encoded algorithm.
+  *
   * Driver round-trips: ONE job per iteration — the convergence metric
   * (sum of label hashes, which only ever decreases) rides the
   * materializing action itself as an `observe()` metric instead of a
   * separate collect. Plan lineage is truncated every
   * `checkpointEvery` iterations; when the SparkContext has a
   * checkpoint dir configured the truncation is a RELIABLE checkpoint
-  * (survives executor loss on a real cluster), otherwise
-  * localCheckpoint (fine for local mode; blocks die with executors).
+  * (survives executor loss on a real cluster; the iteration is
+  * persisted first so the checkpoint-write job re-reads cache instead
+  * of recomputing), otherwise localCheckpoint (fine for local mode).
+  * Every superseded iteration's blocks — including localCheckpoints and
+  * the initial label table — are unpersisted as soon as the next
+  * iteration is material, so repeated CC invocations in one session do
+  * not accumulate dead blocks.
   *
   * Skew: star-capped candidate generation upstream keeps component
   * diameter small; the groupBy(dst) min-aggregation is a partial
@@ -39,59 +52,117 @@ object ConnectedComponents {
     * @return (conv_id, cluster_id) where cluster_id = min member id. */
   def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 25, checkpointEvery: Int = 2): DataFrame = {
     import spark.implicits._
-    // label tables are tiny relative to the corpus; AQE's per-shuffle
-    // re-planning adds fixed latency to every one of the loop's jobs —
-    // turn it off for the loop, restore afterwards (shuffle partitions
-    // are resized to the label count inside runLoop for the same reason)
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
-    val codegenBefore = spark.conf.get("spark.sql.codegen.wholeStage", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    // every iteration's plan carries fresh expression ids, so whole-stage
-    // codegen JANINO-COMPILES anew each iteration (~0.5-1s of pure driver
-    // serial time per iteration) for generated code that then processes a
-    // tiny label table — interpreted eval is strictly faster here
-    // (-Dgraft.cc.codegen=true re-enables it, for A/B probing)
-    if (!sys.props.get("graft.cc.codegen").contains("true"))
-      spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try runLoop(spark, edges, maxIters, checkpointEvery)
-    finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
-      spark.conf.set("spark.sql.codegen.wholeStage", codegenBefore)
-    }
-  }
-
-  private def runLoop(spark: SparkSession, edges: DataFrame, maxIters: Int, checkpointEvery: Int): DataFrame = {
-    import spark.implicits._
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    // the distinct over the (possibly expensive) edge input runs at
-    // session parallelism — that part should be wide
+    // ---- phase 1 (session settings: codegen + AQE on) ----
+    // materialize the symmetrized edge set FIRST: the edge input is
+    // often a full detector pipeline (MinHash/SimHash kernels), which
+    // must run wide, codegen'd and AQE-planned — only the tiny label
+    // loop below benefits from interpreted eval
     val symWide = edges
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var labels = symWide
+    // dictionary: distinct node → dense long code. The encoding is a
+    // pure function of the data (hash partition on conv_id, rank within
+    // sorted partition), so retries are deterministic. 2^40 ids per
+    // partition / 2^23 partitions of headroom at 10^12 nodes.
+    val dictParts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    val dict = symWide
+      .select($"src".as("conv_id"))
+      .distinct()
+      .repartition(dictParts, $"conv_id")
+      .sortWithinPartitions($"conv_id")
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        var i = 0L
+        it.map { row =>
+          val id = (pid << 40) | i
+          i += 1
+          (row.getString(0), id)
+        }
+      }
+      .toDF("conv_id", "id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // edges in code space: two hash joins against the dictionary —
+    // one-time cost outside the loop, after which every iteration
+    // shuffles longs only
+    val symCoded = symWide
+      .join(dict.withColumnsRenamed(Map("conv_id" -> "src", "id" -> "src_id")), Seq("src"))
+      .join(dict.withColumnsRenamed(Map("conv_id" -> "dst", "id" -> "dst_id")), Seq("dst"))
+      .select($"src_id".as("src"), $"dst_id".as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nLabels = dict.count()
+    symCoded.count()
+    symWide.unpersist(false)
+
+    // ---- phase 2 (loop settings) ----
+    // label tables are tiny relative to the corpus; AQE's per-shuffle
+    // re-planning adds fixed latency to every one of the loop's jobs —
+    // turn it off for the loop, restore afterwards. Same for codegen:
+    // every iteration's plan carries fresh expression ids, so
+    // whole-stage codegen JANINO-COMPILES anew each iteration (~0.5-1s
+    // of pure driver serial time) for code that processes a tiny label
+    // table — interpreted eval is strictly faster here
+    // (-Dgraft.cc.codegen=true re-enables it, for A/B probing).
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    val codegenBefore = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if (!sys.props.get("graft.cc.codegen").contains("true"))
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val coded =
+      try runLoop(spark, symCoded, nLabels, maxIters, checkpointEvery)
+      finally {
+        spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+        spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+        spark.conf.set("spark.sql.codegen.wholeStage", codegenBefore)
+      }
+
+    // ---- phase 3 (session settings): decode + restore the
+    // "cluster_id = lexicographic min member" contract ----
+    val named = coded
+      .join(dict, Seq("id"))
+      .select($"conv_id", $"comp")
+    val repNames = named
+      .groupBy($"comp")
+      .agg(min($"conv_id").as("cluster_id"))
+    val out = named
+      .join(repNames, Seq("comp"))
+      .select($"conv_id", $"cluster_id")
+      .localCheckpoint(true)
+    coded.unpersist(false)
+    symCoded.unpersist(false)
+    dict.unpersist(false)
+    out
+  }
+
+  /** Hash-min loop in code space. edges: (src: Long, dst: Long),
+    * symmetric and distinct. Returns a MATERIALIZED (id, comp) frame —
+    * caller unpersists. */
+  private def runLoop(
+      spark: SparkSession,
+      sym0: DataFrame,
+      nLabels: Long,
+      maxIters: Int,
+      checkpointEvery: Int): DataFrame = {
+    import spark.implicits._
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    var labels = sym0
       .select($"src".as("id"))
       .distinct()
       .withColumn("comp", $"id")
       .localCheckpoint(true)
+    if (nLabels == 0) return labels
 
     // size the loop's shuffles to the LABEL table, not the session
     // default: per-task overhead dominates below ~100k rows/partition,
     // and with AQE off nothing coalesces the empties. At 10^9 labels
-    // this climbs back to the session setting.
-    val nLabels = labels.count()
-    if (nLabels == 0) {
-      symWide.unpersist(false)
-      return labels.select($"id".as("conv_id"), $"comp".as("cluster_id"))
-    }
+    // this climbs back to the session setting. ~16k rows/partition:
+    // small enough that iterations use the cores (interpreted join work
+    // is ~µs/row), large enough that task scheduling doesn't dominate.
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    // ~16k rows/partition: small enough that iterations use the cores
-    // (interpreted join work is ~µs/row), large enough that task
-    // scheduling doesn't dominate
     val loopParts = math.max(1L, math.min(sessionParts.toLong, (nLabels + 16383L) / 16384L))
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
 
@@ -99,11 +170,10 @@ object ConnectedComponents {
     // partitioning down to loopParts so each iteration's map stages are
     // a handful of right-sized tasks, not sessionParts tiny ones
     val sym =
-      if (symWide.rdd.getNumPartitions <= loopParts * 2) symWide
+      if (sym0.rdd.getNumPartitions <= loopParts * 2) sym0
       else {
-        val c = symWide.coalesce(loopParts.toInt).persist(StorageLevel.MEMORY_AND_DISK)
+        val c = sym0.coalesce(loopParts.toInt).persist(StorageLevel.MEMORY_AND_DISK)
         c.count()
-        symWide.unpersist(false)
         c
       }
 
@@ -117,7 +187,11 @@ object ConnectedComponents {
     var prevSum: Any = labels.agg(labelSumCol).collect()(0).get(0)
     var iter = 0
     var converged = false
-    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // blocks superseded by the CURRENT materialized iteration — freed
+    // as soon as the next one is material (includes localCheckpoint
+    // blocks and the initial label table; reliable checkpoint files are
+    // owned by the ContextCleaner when cleanCheckpoints is on)
+    var retired = List[DataFrame](labels)
     while (iter < maxIters && !converged) {
       val tIter = System.nanoTime()
       // min component label among neighbors (partial agg before shuffle)
@@ -147,13 +221,21 @@ object ConnectedComponents {
       val observed = jumped.observe(obs, labelSumCol)
       val truncate = (iter + 1) % checkpointEvery == 0
       val next =
-        if (truncate && reliable) observed.checkpoint(true)
-        else if (truncate) observed.localCheckpoint(true)
+        if (truncate && reliable) {
+          // persist → count → checkpoint: the checkpoint-write job
+          // (ReliableRDDCheckpointData runs a second job) re-reads the
+          // cached blocks instead of re-executing the whole iteration
+          val p = observed.persist(StorageLevel.MEMORY_AND_DISK)
+          p.count()
+          val ck = p.checkpoint(true)
+          retired = p :: retired
+          ck
+        } else if (truncate) observed.localCheckpoint(true)
         else { val p = observed.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p }
       val curSum = obs.get.getOrElse("label_sum", null)
       // previous iterations' blocks are dead once `next` is material
-      retired.foreach(_.unpersist(false)); retired.clear()
-      if (!truncate) retired += next
+      retired.foreach(_.unpersist(false))
+      retired = List(next)
       labels = next
       converged = curSum == prevSum
       prevSum = curSum
@@ -161,7 +243,9 @@ object ConnectedComponents {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(f"[cc] iter=$iter ${(System.nanoTime() - tIter) / 1e9}%.2fs converged=$converged")
     }
-    sym.unpersist(false)
-    labels.select($"id".as("conv_id"), $"comp".as("cluster_id"))
+    if (!(sym eq sym0)) sym.unpersist(false)
+    // hand back a frame whose blocks the caller can free: re-persist
+    // the final labels under a handle that survives the retired list
+    labels
   }
 }

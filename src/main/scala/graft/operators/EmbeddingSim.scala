@@ -84,7 +84,11 @@ object EmbeddingSim {
     signBits(vec, rhpPlanes(vec.length, bits, seed))
 
   /** (bucket, vec_id) keys for `tables` independent b-bit sketches —
-    * a narrow mapPartitions; plane matrices built once per partition. */
+    * a narrow mapPartitions; plane matrices built once per (partition,
+    * dimension): keying by the vector's length keeps mixed-dimension
+    * inputs correct (a shorter vector must not index past its planes,
+    * a longer one must not be silently truncated to the first row's
+    * width). */
   def bucketKeys(
       spark: SparkSession,
       corpus: DataFrame,
@@ -94,11 +98,12 @@ object EmbeddingSim {
     import spark.implicits._
     corpus.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
       .mapPartitions { it =>
-        var planes: Array[Array[Array[Double]]] = null
+        val planesByDim =
+          scala.collection.mutable.HashMap.empty[Int, Array[Array[Array[Double]]]]
         it.flatMap { case (id, v) =>
-          if (planes == null)
-            planes = Array.tabulate(tables)(t =>
-              rhpPlanes(v.length, bits, Hashing.mix64(seed * 31 + t)))
+          val planes = planesByDim.getOrElseUpdate(v.length,
+            Array.tabulate(tables)(t =>
+              rhpPlanes(v.length, bits, Hashing.mix64(seed * 31 + t))))
           Iterator.tabulate(tables)(t =>
             (Hashing.mix64(seed + t) ^ (signBits(v, planes(t)) | (t.toLong << 56)), id))
         }
@@ -123,12 +128,28 @@ object EmbeddingSim {
       bucketCap: Int = 2048): DataFrame = {
     import spark.implicits._
     val keys = bucketKeys(spark, corpus, bits, tables, seed)
-    val capW = org.apache.spark.sql.expressions.Window
-      .partitionBy($"bucket").orderBy($"vec_id")
+    // per-bucket cap WITHOUT a window: repartition on bucket, sort
+    // within partitions, stream-count each bucket in a single pass —
+    // the same scale-safe shape as MinHashLSH.candidatePairs. A
+    // row_number window would sort a mega-bucket in ONE task; here a
+    // hot bucket costs a linear scan inside an ordinary shuffle
+    // partition and the cap is deterministic (first `bucketCap` ids).
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val capped = keys
-      .withColumn("rn", row_number().over(capW))
-      .filter($"rn" <= bucketCap)
-      .select($"bucket", $"vec_id")
+      .repartition(parts, $"bucket")
+      .sortWithinPartitions($"bucket", $"vec_id")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        var cur = 0L
+        var n = 0
+        var started = false
+        it.filter { case (b, _) =>
+          if (!started || b != cur) { cur = b; n = 0; started = true }
+          n += 1
+          n <= bucketCap
+        }
+      }
+      .toDF("bucket", "vec_id")
     // candidate pairs within capped buckets (both directions kept)
     val cands = capped.as("a")
       .join(capped.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")

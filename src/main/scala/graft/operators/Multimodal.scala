@@ -8,12 +8,16 @@ import graft.functions.Hashing
   * columns with typed metadata, processed by per-partition batch
   * transforms.
   *
-  * The decode step is STUBBED with a deterministic fake (this container
-  * ships no image/audio codecs — see the builder brief): `fakeDecode`
-  * derives pixel-stats from the bytes reproducibly. Everything around
-  * it — schema, binary handling, partition-batched processing shape,
-  * frame sampling — is real and tested; swapping in a real codec
-  * changes only the function body.
+  * Images are REAL: payloads are PNG-encoded pixel rasters and the
+  * decode path runs `javax.imageio` (ships in the JDK) — features are
+  * computed from decoded pixels, so any lossless re-encode of the same
+  * raster dedups identically. Audio/video decode remains STUBBED with a
+  * deterministic fake (this container ships no audio/video codecs — see
+  * the builder brief): `fakeDecode` derives stats from the raw bytes
+  * reproducibly. Everything around the codec — schema, binary handling,
+  * partition-batched processing shape, frame sampling — is identical
+  * for all three kinds; swapping in ffmpeg for audio/video changes only
+  * the function body.
   *
   * Scale notes: media blobs are processed with `mapPartitions`-style
   * typed transforms (one decoder init per partition, streaming over
@@ -39,9 +43,40 @@ object Multimodal {
       mean_byte_x100: Long,
       frame_fps: Seq[Long])
 
+  /** ImageIO must not touch a display server on executors. */
+  private def ensureHeadless(): Unit =
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+
+  /** Deterministic small RGB raster for `src`: pixel values are a pure
+    * mix64 chain, PNG-encoded (lossless, so decode returns these exact
+    * pixels). */
+  private[operators] def encodePng(src: Long, seed: Long): (Array[Byte], Int, Int) = {
+    ensureHeadless()
+    val w = 8 + (Hashing.mix64(seed ^ src ^ 0x11L) & 0x17L).toInt // 8..31
+    val h = 8 + (Hashing.mix64(seed ^ src ^ 0x22L) & 0x17L).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var z = Hashing.mix64(seed * 7919 + src)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        z = Hashing.mix64(z)
+        img.setRGB(x, y, (z & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream(w * h * 3 + 128)
+    javax.imageio.ImageIO.write(img, "png", bos)
+    (bos.toByteArray, w, h)
+  }
+
   /** Deterministic synthetic media corpus: payload bytes are a pure
     * function of (seed, media_id); ~1/8 of payloads are exact dups of
-    * an earlier id (dedup target). */
+    * an earlier id (dedup target). kind=image rows carry REAL PNG
+    * payloads; audio/video carry opaque deterministic bytes. */
   def syntheticMedia(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(0, n).map { id0 =>
@@ -50,20 +85,51 @@ object Multimodal {
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val len = 256 + (Hashing.mix64(seed ^ src) & 0x3FF).toInt
-      val bytes = new Array[Byte](len)
-      var i = 0
-      var h = Hashing.mix64(seed * 7919 + src)
-      while (i < len) { h = Hashing.mix64(h); bytes(i) = (h & 0xFF).toByte; i += 1 }
-      MediaRow(id, kind, bytes,
-        meta_width = 16 + (Hashing.mix64(src ^ 1) & 0xFF).toInt,
-        meta_height = 16 + (Hashing.mix64(src ^ 2) & 0xFF).toInt,
-        meta_duration_ms = 1000 + (Hashing.mix64(src ^ 3) & 0xFFFF).toInt)
+      if (kind == "image") {
+        val (bytes, w, h) = encodePng(src, seed)
+        MediaRow(id, kind, bytes, w, h, meta_duration_ms = 0)
+      } else {
+        val len = 256 + (Hashing.mix64(seed ^ src) & 0x3FF).toInt
+        val bytes = new Array[Byte](len)
+        var i = 0
+        var z = Hashing.mix64(seed * 7919 + src)
+        while (i < len) { z = Hashing.mix64(z); bytes(i) = (z & 0xFF).toByte; i += 1 }
+        MediaRow(id, kind, bytes,
+          meta_width = 16 + (Hashing.mix64(src ^ 1) & 0xFF).toInt,
+          meta_height = 16 + (Hashing.mix64(src ^ 2) & 0xFF).toInt,
+          meta_duration_ms = 1000 + (Hashing.mix64(src ^ 3) & 0xFFFF).toInt)
+      }
     }
   }
 
-  /** STUB decode: a real implementation calls the codec here (e.g.
-    * libjpeg/ffmpeg via JNI, or a Pandas UDF in a PySpark deployment).
+  /** REAL image decode via javax.imageio: fingerprint + stats over the
+    * DECODED pixel raster (row-major RGB), so identity is
+    * pixel-content identity, not byte identity. */
+  private[operators] def decodeImage(payload: Array[Byte]): (Long, Long, Seq[Long]) = {
+    ensureHeadless()
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val w = img.getWidth
+    val h = img.getHeight
+    var fp = 0xCBF29CE484222325L
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y) & 0xFFFFFF
+        fp = (fp ^ rgb) * 0x100000001B3L
+        sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    val mean = if (w * h == 0) 0L else sum * 100 / (w.toLong * h * 3)
+    (Hashing.mix64(fp), mean, Seq(Hashing.mix64(fp ^ 0x1000193L)))
+  }
+
+  /** STUB decode for audio/video: a real implementation calls the codec
+    * here (ffmpeg via JNI, or a Pandas UDF in a PySpark deployment).
     * The fake derives stable per-blob statistics + per-"frame"
     * fingerprints so downstream plumbing is fully exercisable. */
   def fakeDecode(payload: Array[Byte], frames: Int): (Long, Long, Seq[Long]) = {
@@ -86,16 +152,18 @@ object Multimodal {
     (Hashing.mix64(fp), if (payload.isEmpty) 0L else sum * 100 / payload.length, frameFps)
   }
 
-  /** Feature extraction: one pass per partition, decoder "initialized"
-    * once per partition (the real-codec shape). Frame sampling: 4
-    * pseudo-frames per video, 1 otherwise. */
+  /** Feature extraction: one pass per partition, decoder initialized
+    * once per partition (the real-codec shape). Images decode through
+    * javax.imageio; audio/video through the documented stub. Frame
+    * sampling: 4 pseudo-frames per video, 1 otherwise. */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { rows =>
-      // real codec: init decoder context here, once per partition
+      ensureHeadless() // per-partition decoder init
       rows.map { r =>
-        val frames = if (r.kind == "video") 4 else 1
-        val (fp, meanX100, frameFps) = fakeDecode(r.payload, frames)
+        val (fp, meanX100, frameFps) =
+          if (r.kind == "image") decodeImage(r.payload)
+          else fakeDecode(r.payload, if (r.kind == "video") 4 else 1)
         MediaFeatures(r.media_id, r.kind, r.payload.length, fp, meanX100, frameFps)
       }
     }

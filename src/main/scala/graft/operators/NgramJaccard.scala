@@ -42,11 +42,13 @@ object NgramJaccard {
     import spark.implicits._
     val grams = docGrams(df, idCol, textCol, n)
     val sizes = grams.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
-    val rare = grams
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy($"gram")))
+    // document frequency via groupBy + join, NOT a per-gram window: the
+    // groupBy partial-aggregates map-side, so a stopword gram at corpus
+    // scale is a merged count, not a single-task window sort
+    val gramDf = grams.groupBy($"gram").agg(count(lit(1)).as("df"))
       .filter($"df" <= maxDf)
-      .drop("df")
+      .select($"gram")
+    val rare = grams.join(gramDf, Seq("gram"))
     val shared = rare.as("a")
       .join(rare.as("b"), $"a.gram" === $"b.gram" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))

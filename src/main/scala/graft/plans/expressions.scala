@@ -50,6 +50,23 @@ object GraftKernels {
 
   def docFp(text: UTF8String): Long =
     Hashing.hashString(Hashing.normalize(text.toString))
+
+  /** Executor-wide cache of deserialized Bloom filters, keyed by
+    * broadcast id: the expression instance lives inside the task
+    * binary and is deserialized PER TASK, so an instance-level lazy
+    * val would re-parse the up-to-64 MiB filter once per task — this
+    * static map makes it once per executor JVM, matching the
+    * reference's single shared in-memory BF
+    * (/root/reference/src/bloomfilter.c:96-191). Entries are tiny
+    * handles + one parsed filter per incremental-dedup run; the map is
+    * bounded by the number of live bloom broadcasts in the session. */
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[Long, org.apache.spark.util.sketch.BloomFilter]()
+  def bloomFor(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      : org.apache.spark.util.sketch.BloomFilter =
+    bloomCache.computeIfAbsent(bc.id, _ =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bc.value)))
 }
 
 /** normalized-text → 64-bit content fingerprint (FNV+mix over the
@@ -185,7 +202,10 @@ case class SigJaccardExpr(left: Expression, right: Expression)
   * /root/reference/src/bloomfilter.c:96-191).
   *
   * Codegen'd: the generated code calls [[probe]] on a referenced
-  * instance; the filter deserializes once per executor (transient lazy).
+  * instance, which resolves the parsed filter through the
+  * [[GraftKernels.bloomFor]] executor-wide cache — deserialization
+  * happens once per executor JVM, not once per task (the expression
+  * instance itself is task-deserialized).
   */
 case class BloomContainsBroadcast(
     bc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
@@ -195,9 +215,7 @@ case class BloomContainsBroadcast(
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires LongType, got ${child.dataType}")
   override def dataType: DataType = BooleanType
   override def prettyName: String = "graft_bloom_contains_bc"
-  @transient private lazy val filter =
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bc.value))
+  @transient private lazy val filter = GraftKernels.bloomFor(bc)
   def probe(h: Long): Boolean = filter.mightContainLong(h)
   override protected def nullSafeEval(input: Any): Any =
     probe(input.asInstanceOf[Long])

@@ -45,7 +45,7 @@ object Scaling {
     // INTERLEAVED (N, 4N, N, 4N, …) so host-throughput drift between
     // measurement windows hits both sizes equally; min per size damps
     // the remaining noise.
-    val rounds = sys.env.getOrElse("GRAFT_SCALING_ROUNDS", "2").toInt
+    val rounds = sys.env.getOrElse("GRAFT_SCALING_ROUNDS", "4").toInt
     // GRAFT_SCALING_MODE=cluster → each size is a local-cluster of that
     // many REAL 2-core/12GiB executor JVMs (the driver JVM stays small);
     // default "local" → in-process local[cores]

@@ -73,6 +73,34 @@ class ResumeSpec extends SparkSpec {
     assert(first == rows(res2.lineage))
   }
 
+  test("stage metrics carry real counters; consistent across fresh and resumed runs") {
+    import spark.implicits._
+    val store = tmpDir("resume6")
+    val res = Pipeline.run(spark, transcripts, store)
+    def byStage(df: org.apache.spark.sql.DataFrame): Map[String, StageMetrics] =
+      df.as[StageMetrics].collect().map(x => x.stage -> x).toMap
+    val m = byStage(res.metrics)
+    val turns = transcripts.count()
+    val uniq = transcripts.select($"text").distinct().count()
+    assert(m("docs").rows_in == turns && m("docs").rows_out == N)
+    assert(m("exact").rows_in == turns)
+    assert(m("exact").rows_out == uniq, "exact rows_out = unique turns stored")
+    assert(m("exact").dup_pairs == turns - uniq, "exact dup_pairs = turns deduped away")
+    assert(m("pairs").rows_out == res.dupPairs.count())
+    assert(m("pairs").dup_pairs == m("pairs").rows_out)
+    assert(m("clusters").rows_out == N)
+    assert(m("lineage").rows_out == turns)
+    assert(m("restore").rows_out == turns)
+    // resumed run (only metrics uncommitted): counters re-derived from
+    // the committed tables, not placeholders
+    Files.deleteIfExists(Paths.get(store, "_manifest.metrics.json"))
+    val m2 = byStage(Pipeline.run(spark, transcripts, store).metrics)
+    assert(m2("docs").rows_out == N)
+    assert(m2("exact").rows_in == turns && m2("exact").rows_out == uniq)
+    assert(m2("exact").dup_pairs == turns - uniq)
+    assert(m2("restore").rows_out == turns)
+  }
+
   test("point write patches one conversation's partition; all other files untouched (direct_rw.c analog)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.upper
