@@ -110,7 +110,13 @@ final case class DedupConfig(
       * preserved for CC, quadratic blowup avoided — SURVEY.md §4 skew). */
     bucketCap: Int = 64,
     ccMaxIters: Int = 25,
-    ccCheckpointEvery: Int = 2,
+    /** truncate plan lineage EVERY iteration: one CC iteration is
+      * already ~5 joins deep (double pointer jump), and Catalyst
+      * re-analysis of a compound plan costs multi-second DRIVER time
+      * per extra iteration of depth (measured: 3s/iter truncated vs
+      * 29s at depth 2, 216s at depth 3) — far more than the cache-read
+      * copy a truncation costs. */
+    ccCheckpointEvery: Int = 1,
     seed: Long = 42L) {
   require(numHashes == bands * rowsPerBand, "numHashes must equal bands*rowsPerBand")
   require(simhashBits == 64, "SimHash is fixed at 64 bits")

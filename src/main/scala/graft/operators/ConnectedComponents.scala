@@ -50,8 +50,15 @@ object ConnectedComponents {
 
   /** edges: DataFrame with string columns (doc_a, doc_b).
     * @return (conv_id, cluster_id) where cluster_id = min member id. */
-  def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 25, checkpointEvery: Int = 2): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 25, checkpointEvery: Int = 1): DataFrame = {
     import spark.implicits._
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    var tPhase = System.nanoTime()
+    def lap(phase: String): Unit = if (debug) {
+      val now = System.nanoTime()
+      System.err.println(f"[cc] phase=$phase ${(now - tPhase) / 1e9}%.2fs")
+      tPhase = now
+    }
     // ---- phase 1 (session settings: codegen + AQE on) ----
     // materialize the symmetrized edge set FIRST: the edge input is
     // often a full detector pipeline (MinHash/SimHash kernels), which
@@ -67,7 +74,14 @@ object ConnectedComponents {
     // pure function of the data (hash partition on conv_id, rank within
     // sorted partition), so retries are deterministic. 2^40 ids per
     // partition / 2^23 partitions of headroom at 10^12 nodes.
-    val dictParts = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    // Partition count is sized to the EDGE volume (~32k edges/part,
+    // capped at the session setting): a dup graph is far smaller than
+    // its corpus, and a fixed session-width dict means hundreds of
+    // near-empty tasks in every downstream stage.
+    val nEdges = symWide.count()
+    val sessionShuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val dictParts = math.max(1L, math.min(sessionShuffleParts.toLong,
+      (nEdges + 32767L) / 32768L)).toInt
     val dict = symWide
       .select($"src".as("conv_id"))
       .distinct()
@@ -94,8 +108,10 @@ object ConnectedComponents {
       .select($"src_id".as("src"), $"dst_id".as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nLabels = dict.count()
+    lap("sym+dict")
     symCoded.count()
     symWide.unpersist(false)
+    lap("encode")
 
     // ---- phase 2 (loop settings) ----
     // label tables are tiny relative to the corpus; AQE's per-shuffle
@@ -113,8 +129,9 @@ object ConnectedComponents {
     if (!sys.props.get("graft.cc.codegen").contains("true"))
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
     val coded =
-      try runLoop(spark, symCoded, nLabels, maxIters, checkpointEvery)
+      try runLoop(spark, symCoded, dict, nLabels, maxIters, checkpointEvery)
       finally {
+        lap("loop")
         spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
         spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
         spark.conf.set("spark.sql.codegen.wholeStage", codegenBefore)
@@ -135,6 +152,7 @@ object ConnectedComponents {
     coded.unpersist(false)
     symCoded.unpersist(false)
     dict.unpersist(false)
+    lap("decode")
     out
   }
 
@@ -144,17 +162,12 @@ object ConnectedComponents {
   private def runLoop(
       spark: SparkSession,
       sym0: DataFrame,
+      dict: DataFrame,
       nLabels: Long,
       maxIters: Int,
       checkpointEvery: Int): DataFrame = {
     import spark.implicits._
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    var labels = sym0
-      .select($"src".as("id"))
-      .distinct()
-      .withColumn("comp", $"id")
-      .localCheckpoint(true)
-    if (nLabels == 0) return labels
 
     // size the loop's shuffles to the LABEL table, not the session
     // default: per-task overhead dominates below ~100k rows/partition,
@@ -165,6 +178,15 @@ object ConnectedComponents {
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val loopParts = math.max(1L, math.min(sessionParts.toLong, (nLabels + 16383L) / 16384L))
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+
+    // initial labels comp(v)=v: a narrow projection of the cached dict
+    // (its id set IS the node set — no second distinct), squeezed to
+    // loopParts blocks so every iteration reads right-sized partitions
+    var labels = dict
+      .select($"id", $"id".as("comp"))
+      .coalesce(loopParts.toInt)
+      .localCheckpoint(true)
+    if (nLabels == 0) return labels
 
     // the loop re-reads sym every iteration: coalesce its cached
     // partitioning down to loopParts so each iteration's map stages are
@@ -182,9 +204,11 @@ object ConnectedComponents {
     // decimal(38,0) accumulator: Long sum would overflow (ANSI throws).
     def labelSumCol = sum(xxhash64($"comp").cast("decimal(38,0)")).as("label_sum")
 
-    // initial sum: one cheap aggregate over the (just-materialized)
-    // tiny label table, so a no-op first iteration already converges
-    var prevSum: Any = labels.agg(labelSumCol).collect()(0).get(0)
+    // no initial-sum job: on a nonempty symmetric edge set some label
+    // strictly decreases in iteration 1 (for any edge (a,b), a<b, node
+    // b\'s label drops), so iter 1 can never be the fixpoint — the null
+    // sentinel never equals a real sum
+    var prevSum: Any = null
     var iter = 0
     var converged = false
     // blocks superseded by the CURRENT materialized iteration — freed
@@ -220,18 +244,17 @@ object ConnectedComponents {
       val obs = org.apache.spark.sql.Observation()
       val observed = jumped.observe(obs, labelSumCol)
       val truncate = (iter + 1) % checkpointEvery == 0
+      // every iteration: persist → count (one job, delivers the
+      // observe metric); on truncation iterations the checkpoint then
+      // re-reads those cached blocks instead of re-executing the whole
+      // iteration (both locally and reliably — RDD checkpointing always
+      // runs a second job over the plan's partitions)
+      val p = observed.persist(StorageLevel.MEMORY_AND_DISK)
+      p.count()
       val next =
-        if (truncate && reliable) {
-          // persist → count → checkpoint: the checkpoint-write job
-          // (ReliableRDDCheckpointData runs a second job) re-reads the
-          // cached blocks instead of re-executing the whole iteration
-          val p = observed.persist(StorageLevel.MEMORY_AND_DISK)
-          p.count()
-          val ck = p.checkpoint(true)
-          retired = p :: retired
-          ck
-        } else if (truncate) observed.localCheckpoint(true)
-        else { val p = observed.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p }
+        if (truncate && reliable) { val ck = p.checkpoint(true); retired = p :: retired; ck }
+        else if (truncate) { val ck = p.localCheckpoint(true); retired = p :: retired; ck }
+        else p
       val curSum = obs.get.getOrElse("label_sum", null)
       // previous iterations' blocks are dead once `next` is material
       retired.foreach(_.unpersist(false))

@@ -22,12 +22,13 @@ object CcProbe {
       else (s"c${i / 160 * 160}", s"c$i") // chains via coarse hubs
     }.toDF("doc_a", "doc_b").cache()
     edges.count()
+    val ckEvery = sys.env.getOrElse("GRAFT_CC_CKEVERY", "1").toInt
     for (mode <- Seq("warm", "on", "off")) {
       val t0 = System.nanoTime()
       sys.props.remove("graft.cc.codegen") // placeholder; loop reads conf
       val forced = mode != "off"
       System.setProperty("graft.cc.codegen", forced.toString)
-      val out = ConnectedComponents.run(spark, edges)
+      val out = ConnectedComponents.run(spark, edges, checkpointEvery = ckEvery)
       val c = out.select("cluster_id").distinct().count()
       System.err.println(f"[ccprobe] mode=$mode clusters=$c wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }

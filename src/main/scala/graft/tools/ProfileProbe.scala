@@ -22,6 +22,12 @@ object ProfileProbe {
           si.taskMetrics.executorRunTime, wall, si.numTasks)
       }
     })
+    if (!new java.io.File(s"$input/_SUCCESS").exists()) {
+      // derive conv count from the path suffix (..._<nConvs>)
+      val n = input.split("_").last.toLong
+      graft.corpus.CorpusGen.transcripts(spark, n)
+        .write.mode("overwrite").parquet(input)
+    }
     val t = spark.read.parquet(input)
     t.count()
     Bench.runDedupWorkload(spark, t) // warmup
