@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators._
+import graft.functions.Hashing
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators: text analysis, n-gram Jaccard,
@@ -137,6 +138,30 @@ class TrainingOpsSpec extends SparkSpec {
     // and the number of queries that produced results is bounded by the
     // capped bucket membership, not the full 2000
     assert(topk.select($"query_id").distinct().count() <= (tables * cap).toLong)
+  }
+
+  test("ANN bucket keys are correct on mixed-dimension partitions") {
+    import spark.implicits._
+    // one partition holding 8-dim and 16-dim vectors interleaved: the
+    // per-partition plane cache must key by dimension — a shared cache
+    // would either throw (short vector) or silently truncate (long one)
+    val rows = (0L until 40L).map { id =>
+      val dim = if (id % 2 == 0) 8 else 16
+      (id, Seq.tabulate(dim)(d => (Hashing.mix64(id * 31 + d) % 1000).toFloat / 1000f))
+    }
+    val corpus = rows.toDS().toDF("vec_id", "embedding").coalesce(1)
+    val got = EmbeddingSim.bucketKeys(spark, corpus, bits = 12, tables = 3, seed = 42L)
+      .as[(Long, Long)].collect().groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // oracle: the single-shot rhpBits form, per vector
+    for ((id, v) <- rows; t <- 0 until 3) {
+      val planes = EmbeddingSim.rhpPlanes(v.length, 12, Hashing.mix64(42L * 31 + t))
+      val expected = Hashing.mix64(42L + t) ^
+        ((0 until 12).foldLeft(0L) { (sig, p) =>
+          val dot = v.indices.map(d => v(d) * planes(p)(d)).sum
+          if (dot >= 0) sig | (1L << p) else sig
+        } | (t.toLong << 56))
+      assert(got(id).contains(expected), s"vec $id table $t")
+    }
   }
 
   test("multimodal: features deterministic, planted dups found, frame sampling shape") {
