@@ -84,6 +84,11 @@ object Bench {
           sys.props("java.class.path"))
         .config("spark.executor.extraJavaOptions",
           org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+        // all "hosts" are this machine: a 3s locality wait per stage
+        // only idles executor cores (standard prod tuning for
+        // evenly-sized stages; HDFS-style data locality doesn't exist
+        // on parquet-over-local-fs here)
+        .config("spark.locality.wait", "0s")
     builder
       .appName("graft-bench")
       // 4× cores: straggler smoothing for skewed stages; AQE coalesces

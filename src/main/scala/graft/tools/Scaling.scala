@@ -25,14 +25,24 @@ object Scaling {
     val nConvs = if (args.length > 0) args(0).toLong else 30000L
     val n = if (args.length > 1) args(1).toInt else 2
     val input = s"/tmp/graft_scaling_corpus_$nConvs"
+    // small warm corpus: the warm pass exists to pay JIT/C2 + Janino
+    // codegen + buffer-pool init, all of which are input-SIZE-independent
+    // (same schema, same plans) — warming on a 1/20-scale corpus costs
+    // minutes less per forked JVM at large nConvs without changing what
+    // gets compiled
+    val warmConvs = math.max(5000L,
+      sys.env.get("GRAFT_SCALING_WARM_CONVS").map(_.toLong).getOrElse(nConvs / 20))
+    val warmInput = s"/tmp/graft_scaling_corpus_$warmConvs"
 
-    // materialize the corpus once (not timed) and count its turns
+    // materialize the corpora once (not timed) and count the turns
     var turns = 0L
     locally {
       val s0 = Bench.buildSession("32")
       s0.sparkContext.setLogLevel("WARN")
       if (!new java.io.File(s"$input/_SUCCESS").exists())
         CorpusGen.transcripts(s0, nConvs).write.mode("overwrite").parquet(input)
+      if (!new java.io.File(s"$warmInput/_SUCCESS").exists())
+        CorpusGen.transcripts(s0, warmConvs).write.mode("overwrite").parquet(warmInput)
       turns = s0.read.parquet(input).count()
       s0.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -64,7 +74,7 @@ object Scaling {
         "-Dspark.ui.enabled=false",
         "-Dspark.sql.session.timeZone=UTC",
         "-cp", sys.props("java.class.path"),
-        "graft.tools.ScalingWorker", input, sizeSpec(size), roundsInJvm.toString)
+        "graft.tools.ScalingWorker", input, sizeSpec(size), roundsInJvm.toString, warmInput)
       val secs = scala.collection.mutable.ListBuffer.empty[Double]
       val rc = Process(cmd).!(ProcessLogger(
         line =>
@@ -91,17 +101,20 @@ object Scaling {
   }
 }
 
-/** Per-size measurement JVM: one full warm pass (JIT + codegen caches),
-  * then `rounds` timed runs of the dedup workload at local[cpus] over a
-  * pre-materialized corpus. Prints one SCALING_WORKER_SECS=<secs> line
-  * per timed run. */
+/** Per-size measurement JVM: warm passes over the SMALL warm corpus
+  * (JIT + codegen caches — size-independent), then `rounds` timed runs
+  * of the dedup workload at local[cpus] over the pre-materialized full
+  * corpus. Prints one SCALING_WORKER_SECS=<secs> line per timed run. */
 object ScalingWorker {
   def main(args: Array[String]): Unit = {
-    val Array(input, cpus, roundsStr) = args
+    val input = args(0); val cpus = args(1); val roundsStr = args(2)
+    val warmInput = if (args.length > 3) args(3) else args(0)
     val spark = Bench.buildSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    val warm = spark.read.parquet(warmInput)
+    Bench.runDedupWorkload(spark, warm) // warm pass 1: C2 bulk
+    Bench.runDedupWorkload(spark, warm) // warm pass 2: late-tier residue
     val t = spark.read.parquet(input)
-    Bench.runDedupWorkload(spark, t) // warm pass, untimed
     for (_ <- 1 to roundsStr.toInt) {
       val secs = Bench.runDedupWorkload(spark, t)
       println(f"SCALING_WORKER_SECS=$secs%.3f")
