@@ -247,9 +247,21 @@ object Bench {
     // environment health gate: if fresh pages cost VMM faults (this
     // sandbox's free-page-reporting tax, BASELINE.md round 3), every
     // number below measures the hypervisor, not the engine — normalize
-    // first and report both probes so the artifact self-documents
+    // first and report both probes so the artifact self-documents.
+    // The machine-level prep (sysfs writes) only auto-runs on THIS
+    // sandbox's kernel signature ("-fc-" release, where the balloon
+    // serves no host purpose) or with explicit GRAFT_ENV_PREP=1;
+    // GRAFT_ENV_PREP=0 disables it everywhere.
     val pfBefore = pageFaultProbeMbps()
-    val prepped = if (pfBefore < 50.0) tryEnvPrep() else false
+    val prepAllowed = sys.env.get("GRAFT_ENV_PREP") match {
+      case Some("0") => false
+      case Some(_) => true
+      case None =>
+        try scala.io.Source.fromFile("/proc/sys/kernel/osrelease")
+          .mkString.contains("-fc-")
+        catch { case _: Throwable => false }
+    }
+    val prepped = if (pfBefore < 50.0 && prepAllowed) tryEnvPrep() else false
     val pfAfter = if (prepped) pageFaultProbeMbps() else pfBefore
     System.err.println(
       f"[bench] page-fault probe: ${pfBefore}%.0f MB/s before, ${pfAfter}%.0f after (env_prep=$prepped)")

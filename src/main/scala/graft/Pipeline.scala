@@ -66,11 +66,18 @@ object Pipeline {
     val metricsBuf = scala.collection.mutable.ArrayBuffer.empty[StageMetrics]
 
     // reliable-checkpoint home for the CC loop (and any other iterative
-    // op): store-relative, so a real cluster gets fault-tolerant
-    // truncation instead of a silent localCheckpoint fallback
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Paths.get(storeRoot, "_checkpoints").toString)
+    // op): store-relative and PER-RUN, so (a) a real cluster gets
+    // fault-tolerant truncation instead of a silent localCheckpoint
+    // fallback, (b) a session running pipelines against several stores
+    // never writes one store's recovery data into another (the dir is
+    // re-pointed every run, not only when unset), and (c) the files —
+    // dead once every stage is committed to parquet — are deleted at
+    // the end of the run instead of accumulating across runs (the
+    // ContextCleaner only reclaims them when cleanCheckpoints is set,
+    // which can't be enabled on an already-running context).
+    val ckptDir = java.nio.file.Paths.get(
+      storeRoot, "_checkpoints", s"run_${System.nanoTime()}")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
 
     /** Run one stage and record its metrics. `obs` is attached to the
       * stage's primary output inside the body, so the counters ride the
@@ -229,6 +236,16 @@ object Pipeline {
             lit(0L).cast("long").as("dup_pairs")))
       }
     }
+
+    // every stage is committed to parquet and the Result frames read
+    // from those committed tables — the run's reliable checkpoints are
+    // unreachable now, delete them
+    def deleteRec(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(deleteRec)
+      f.delete(): Unit
+    }
+    deleteRec(ckptDir.toFile)
 
     Result(
       docs = docsOut("docs"),

@@ -48,8 +48,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
+  // the returned frame is localCheckpoint'd (its lineage — detectors +
+  // loop — is gone, so the blocks ARE the data and can't be dropped
+  // while a caller may still read it). Callers don't manage it, so each
+  // run() retires the PREVIOUS invocation's output: at most one live
+  // label table per JVM instead of one per invocation.
+  private var lastOut: Option[DataFrame] = None
+
   /** edges: DataFrame with string columns (doc_a, doc_b).
-    * @return (conv_id, cluster_id) where cluster_id = min member id. */
+    * @return (conv_id, cluster_id) where cluster_id = min member id.
+    *         Valid until the next run() in this JVM (blocks are then
+    *         freed); persist/write it first if you need it longer. */
   def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 25, checkpointEvery: Int = 1): DataFrame = {
     import spark.implicits._
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
@@ -152,6 +161,10 @@ object ConnectedComponents {
     coded.unpersist(false)
     symCoded.unpersist(false)
     dict.unpersist(false)
+    synchronized {
+      lastOut.foreach(o => try o.unpersist(false) catch { case _: Throwable => () })
+      lastOut = Some(out)
+    }
     lap("decode")
     out
   }
@@ -267,8 +280,10 @@ object ConnectedComponents {
         System.err.println(f"[cc] iter=$iter ${(System.nanoTime() - tIter) / 1e9}%.2fs converged=$converged")
     }
     if (!(sym eq sym0)) sym.unpersist(false)
-    // hand back a frame whose blocks the caller can free: re-persist
-    // the final labels under a handle that survives the retired list
+    // `labels` is the last materialized iteration (still persisted /
+    // checkpointed — the retired list is only drained when a NEWER
+    // iteration supersedes it, which hasn't happened for the final one);
+    // run() unpersists it via the coded handle after decoding
     labels
   }
 }

@@ -162,7 +162,13 @@ object Multimodal {
       ensureHeadless() // per-partition decoder init
       rows.map { r =>
         val (fp, meanX100, frameFps) =
-          if (r.kind == "image") decodeImage(r.payload)
+          if (r.kind == "image")
+            // a corrupt payload must cost one row, not the stage:
+            // degrade that row to the byte-level fingerprint (its
+            // identity is then byte identity, which is still a valid —
+            // just narrower — dedup key for undecodable blobs)
+            try decodeImage(r.payload)
+            catch { case _: Exception => fakeDecode(r.payload, 1) }
           else fakeDecode(r.payload, if (r.kind == "video") 4 else 1)
         MediaFeatures(r.media_id, r.kind, r.payload.length, fp, meanX100, frameFps)
       }

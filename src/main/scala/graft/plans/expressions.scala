@@ -51,22 +51,40 @@ object GraftKernels {
   def docFp(text: UTF8String): Long =
     Hashing.hashString(Hashing.normalize(text.toString))
 
-  /** Executor-wide cache of deserialized Bloom filters, keyed by
-    * broadcast id: the expression instance lives inside the task
-    * binary and is deserialized PER TASK, so an instance-level lazy
-    * val would re-parse the up-to-64 MiB filter once per task — this
-    * static map makes it once per executor JVM, matching the
-    * reference's single shared in-memory BF
-    * (/root/reference/src/bloomfilter.c:96-191). Entries are tiny
-    * handles + one parsed filter per incremental-dedup run; the map is
-    * bounded by the number of live bloom broadcasts in the session. */
+  /** Executor-wide cache of deserialized Bloom filters: the expression
+    * instance lives inside the task binary and is deserialized PER
+    * TASK, so an instance-level lazy val would re-parse the up-to-64
+    * MiB filter once per task — this static map makes it once per
+    * executor JVM, matching the reference's single shared in-memory BF
+    * (/root/reference/src/bloomfilter.c:96-191). Keyed by (appId,
+    * broadcastId) — broadcast ids are a per-SparkContext counter, so a
+    * bare id would resolve to a STALE filter after a context restart in
+    * the same JVM. Access-order LRU capped at 8 parsed filters so
+    * repeated incremental-dedup batches (one broadcast each) cannot
+    * accumulate executor memory without bound. */
+  private val bloomCacheMax = 8
   private val bloomCache =
-    new java.util.concurrent.ConcurrentHashMap[Long, org.apache.spark.util.sketch.BloomFilter]()
+    new java.util.LinkedHashMap[(String, Long), org.apache.spark.util.sketch.BloomFilter](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), org.apache.spark.util.sketch.BloomFilter]): Boolean =
+        size() > bloomCacheMax
+    }
   def bloomFor(bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
-      : org.apache.spark.util.sketch.BloomFilter =
-    bloomCache.computeIfAbsent(bc.id, _ =>
-      org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bc.value)))
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val appId =
+      Option(org.apache.spark.SparkEnv.get).map(_.conf.getAppId).getOrElse("")
+    val key = (appId, bc.id)
+    bloomCache.synchronized {
+      val hit = bloomCache.get(key)
+      if (hit != null) hit
+      else {
+        val parsed = org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(bc.value))
+        bloomCache.put(key, parsed)
+        parsed
+      }
+    }
+  }
 }
 
 /** normalized-text → 64-bit content fingerprint (FNV+mix over the

@@ -25,9 +25,7 @@ object CcProbe {
     val ckEvery = sys.env.getOrElse("GRAFT_CC_CKEVERY", "1").toInt
     for (mode <- Seq("warm", "on", "off")) {
       val t0 = System.nanoTime()
-      sys.props.remove("graft.cc.codegen") // placeholder; loop reads conf
-      val forced = mode != "off"
-      System.setProperty("graft.cc.codegen", forced.toString)
+      System.setProperty("graft.cc.codegen", (mode != "off").toString)
       val out = ConnectedComponents.run(spark, edges, checkpointEvery = ckEvery)
       val c = out.select("cluster_id").distinct().count()
       System.err.println(f"[ccprobe] mode=$mode clusters=$c wall=${(System.nanoTime() - t0) / 1e9}%.2fs")

@@ -23,9 +23,13 @@ object ProfileProbe {
       }
     })
     if (!new java.io.File(s"$input/_SUCCESS").exists()) {
-      // derive conv count from the path suffix (..._<nConvs>)
-      val n = input.split("_").last.toLong
-      graft.corpus.CorpusGen.transcripts(spark, n)
+      // auto-generate only for the tool's own ..._<nConvs> corpus paths;
+      // anything else missing _SUCCESS is a user mistake, not a request
+      // to overwrite their directory with synthetic data
+      val suffix = "_([0-9]+)$".r.findFirstMatchIn(input)
+      require(suffix.isDefined,
+        s"$input has no _SUCCESS marker and no trailing _<nConvs> suffix to generate from")
+      graft.corpus.CorpusGen.transcripts(spark, suffix.get.group(1).toLong)
         .write.mode("overwrite").parquet(input)
     }
     val t = spark.read.parquet(input)

@@ -30,8 +30,9 @@ object Scaling {
     // (same schema, same plans) — warming on a 1/20-scale corpus costs
     // minutes less per forked JVM at large nConvs without changing what
     // gets compiled
-    val warmConvs = math.max(5000L,
-      sys.env.get("GRAFT_SCALING_WARM_CONVS").map(_.toLong).getOrElse(nConvs / 20))
+    val warmConvs = math.min(nConvs,
+      sys.env.get("GRAFT_SCALING_WARM_CONVS").map(_.toLong)
+        .getOrElse(math.max(5000L, nConvs / 20)))
     val warmInput = s"/tmp/graft_scaling_corpus_$warmConvs"
 
     // materialize the corpora once (not timed) and count the turns
