@@ -55,6 +55,18 @@ object ConnectedComponents {
   // label table per JVM instead of one per invocation.
   private var lastOut: Option[DataFrame] = None
 
+  /** Free a frame's blocks NOW. `Dataset.unpersist` only drops cache-
+    * manager entries; a (local)checkpoint'd frame's blocks belong to
+    * the underlying RDD behind its LogicalRDD scan, which the cache
+    * manager doesn't know — without this, those blocks linger until the
+    * ContextCleaner notices the RDD is unreachable (GC-async). */
+  private def free(df: DataFrame): Unit = {
+    try df.unpersist(false) catch { case _: Throwable => () }
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+  }
+
   /** edges: DataFrame with string columns (doc_a, doc_b).
     * @return (conv_id, cluster_id) where cluster_id = min member id.
     *         Valid until the next run() in this JVM (blocks are then
@@ -162,7 +174,7 @@ object ConnectedComponents {
     symCoded.unpersist(false)
     dict.unpersist(false)
     synchronized {
-      lastOut.foreach(o => try o.unpersist(false) catch { case _: Throwable => () })
+      lastOut.foreach(free)
       lastOut = Some(out)
     }
     lap("decode")
@@ -270,7 +282,9 @@ object ConnectedComponents {
         else p
       val curSum = obs.get.getOrElse("label_sum", null)
       // previous iterations' blocks are dead once `next` is material
-      retired.foreach(_.unpersist(false))
+      // (free() also reaches localCheckpoint RDDs the cache manager
+      // doesn't track)
+      retired.foreach(free)
       retired = List(next)
       labels = next
       converged = curSum == prevSum

@@ -42,4 +42,21 @@ class CcCheckpointSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(sizes("n0") == 10 && sizes("p0") == 2 && sizes("q0") == 2)
   }
+
+  test("repeated CC runs do not accumulate cached blocks") {
+    import spark.implicits._
+    val edges = ((0 until 9).map(i => (s"n$i", s"n${i + 1}")) ++
+      Seq(("p0", "p1"), ("q0", "q1"))).toDF("doc_a", "doc_b")
+    // settle: one run whose output stays live (the retire-previous
+    // policy keeps exactly one label table alive)
+    ConnectedComponents.run(spark, edges).count()
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      assert(ConnectedComponents.run(spark, edges).count() == 14)
+      // each run retires the previous output before registering its
+      // own, so the live-block census must not grow with invocations
+      assert(spark.sparkContext.getPersistentRDDs.size <= baseline,
+        s"CC leaked cached blocks: ${spark.sparkContext.getPersistentRDDs.size} > $baseline")
+    }
+  }
 }

@@ -30,6 +30,12 @@ class ResumeSpec extends SparkSpec {
     import spark.implicits._
     val restored = new TableStore(store).read(spark, "restore", "restored")
     assert(operators.Restore.mismatchCount(spark, transcripts, restored) == 0)
+    // the run's reliable-checkpoint files are dead once every stage is
+    // committed — both runs must have deleted their per-run subdirs
+    val ckRoot = Paths.get(store, "_checkpoints")
+    assert(!Files.exists(ckRoot) ||
+      !Files.list(ckRoot).iterator().hasNext,
+      "pipeline left reliable-checkpoint files behind after commit")
   }
 
   test("committed stages are not recomputed on resume (manifest mtime unchanged)") {
