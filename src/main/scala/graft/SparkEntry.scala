@@ -237,6 +237,20 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           countDistinct($"doc_fp").as("n_distinct_fp"))
     }),
+    // deduped-corpus export: kept doc per distinct normalized text +
+    // reference count — DuckDB re-derives it by grouping on the
+    // normalized text itself (the engine groups on the 128-bit fp so
+    // only 16 B/doc shuffle; same groups absent collisions)
+    "q_dedup_keep" -> ((s, dir) =>
+      TextAnalysis.keepCorpus(readT(s, dir, "documents"))),
+    // deterministic stratified sample: per-language permille quotas on
+    // pmod(doc_id, 1000) — reproducible in any engine, exactly
+    "q_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.stratified(readT(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 200, "zh" -> 500), defaultPermille = 50)
+        .select($"doc_id", $"lang")
+    }),
     "q_token_jaccard" -> ((s, dir) => {
       NgramJaccard.pairs(s, readT(s, dir, "documents"),
         "doc_id", "text", n = 1, threshold = 0.5)
@@ -411,6 +425,16 @@ object SparkEntry {
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_distinct_fp
         |FROM documents""".stripMargin,
+    "q_dedup_keep" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_refs
+        |FROM (SELECT doc_id,
+        |        lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS nt
+        |      FROM documents)
+        |GROUP BY nt""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 1000 < CASE lang WHEN 'en' THEN 200
+        |                                WHEN 'zh' THEN 500 ELSE 50 END""".stripMargin,
     "q_embed_ann_planted" ->
       """WITH sel AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 3)
         |SELECT vec_id AS query_id, vec_id + 10000000 AS neighbor_id FROM sel

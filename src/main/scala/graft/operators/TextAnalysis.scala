@@ -76,4 +76,27 @@ object TextAnalysis {
     graft.plans.GraftFunctions.register(df.sparkSession)
     df.withColumn("doc_fp", call_function("graft_doc_fp", col(textCol)))
   }
+
+  /** Deduped-corpus export: one row per distinct NORMALIZED text — the
+    * kept doc (lowest id, first-writer-wins like the reference's
+    * first-occurrence rule, /root/reference/src/dedup.c:150-173) plus
+    * its reference count. This is the "cleaned training corpus" answer
+    * a dedup pipeline exists to produce.
+    *
+    * Identity is a 128-bit composite of two doc fingerprints so the
+    * groupBy shuffles 16 bytes per doc, never the text, and stays
+    * collision-safe at 10^12 docs (a single 64-bit key collides with
+    * near-certainty there). The second half hashes `text ⧺ " q7"`:
+    * normalize(t ⧺ " q7") is a pure function of normalize(t) (suffix
+    * survives whitespace collapse + trim), so both halves respect
+    * normalization identity while being independent hashes. */
+  def keepCorpus(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("fp_hi", call_function("graft_doc_fp", col("text")))
+      .withColumn("fp_lo", call_function("graft_doc_fp", concat(col("text"), lit(" q7"))))
+      .groupBy(col("fp_hi"), col("fp_lo"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_refs"))
+      .select(col("doc_id"), col("n_refs"))
+  }
 }

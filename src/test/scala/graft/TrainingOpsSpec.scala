@@ -179,4 +179,37 @@ class TrainingOpsSpec extends SparkSpec {
     for (id <- 0L until 64L if id % 8 == 7) assert(dups.get(id).contains(id - 3))
     assert(dups.size == 8)
   }
+
+  test("keepCorpus keeps lowest doc_id per normalized text with reference counts") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "Hello  world"),
+      (1L, " hello WORLD "), // same normalized text as 0
+      (2L, "hello world!"),  // different (punctuation survives)
+      (3L, "other doc"),
+      (4L, "hello\tworld")    // same normalized text as 0
+    ).toDF("doc_id", "text")
+    val kept = operators.TextAnalysis.keepCorpus(docs)
+      .as[(Long, Long)].collect().toMap
+    assert(kept == Map(0L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("stratified sample is the exact deterministic id-mod subset") {
+    import spark.implicits._
+    val rows = (0L until 4000L).map(i => (i, if (i % 3 == 0) "en" else "fr"))
+    val df = rows.toDF("doc_id", "lang")
+    val got = operators.Sampling
+      .stratified(df, "doc_id", "lang", Map("en" -> 250), defaultPermille = 100)
+      .as[(Long, String)].collect().toSet
+    val want = rows.filter { case (id, lang) =>
+      id % 1000 < (if (lang == "en") 250 else 100)
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size < rows.size)
+    // permutation invariance: repartitioned input yields the same subset
+    val got2 = operators.Sampling
+      .stratified(df.repartition(13), "doc_id", "lang", Map("en" -> 250), 100)
+      .as[(Long, String)].collect().toSet
+    assert(got2 == got)
+  }
 }
