@@ -117,6 +117,14 @@ final case class DedupConfig(
       * 29s at depth 2, 216s at depth 3) — far more than the cache-read
       * copy a truncation costs. */
     ccCheckpointEvery: Int = 1,
+    /** hash-min+jump iterations batched into ONE materializing job per
+      * CC round (intermediates end at lazy plan boundaries, so Catalyst
+      * cost stays linear — see ConnectedComponents.runLoop). The loop's
+      * measured input-independent fixed cost is per-JOB driver sync, so
+      * batching divides it ~3×; the price is up to batchIters-1 no-op
+      * iterations of (tiny) label-table shuffle after the true
+      * fixpoint. */
+    ccBatchIters: Int = 3,
     seed: Long = 42L) {
   require(numHashes == bands * rowsPerBand, "numHashes must equal bands*rowsPerBand")
   require(simhashBits == 64, "SimHash is fixed at 64 bits")

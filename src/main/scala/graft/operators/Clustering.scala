@@ -22,7 +22,7 @@ object Clustering {
       cfg: DedupConfig = DedupConfig.default): Dataset[ClusterAssign] = {
     import spark.implicits._
     val edges = pairs.select($"doc_a", $"doc_b").distinct()
-    val comps = ConnectedComponents.run(spark, edges, cfg.ccMaxIters, cfg.ccCheckpointEvery)
+    val comps = ConnectedComponents.run(spark, edges, cfg.ccMaxIters, cfg.ccCheckpointEvery, cfg.ccBatchIters)
 
     // every doc: component label if clustered, else itself (singleton)
     val assigned = docs

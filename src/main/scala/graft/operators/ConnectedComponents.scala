@@ -27,11 +27,14 @@ import org.apache.spark.storage.StorageLevel
   * after convergence by a per-component min(conv_id) regroup, so the
   * output is bit-identical to the un-encoded algorithm.
   *
-  * Driver round-trips: ONE job per iteration — the convergence metric
-  * (sum of label hashes, which only ever decreases) rides the
-  * materializing action itself as an `observe()` metric instead of a
-  * separate collect. Plan lineage is truncated every
-  * `checkpointEvery` iterations; when the SparkContext has a
+  * Driver round-trips: ONE job per ROUND of `batchIters` iterations —
+  * intermediate iterations end at lazy plan boundaries
+  * ([[org.apache.spark.sql.GraftPlanBridge.planBoundary]]) so the whole
+  * batch executes as a single job, and the convergence metric (sum of
+  * label hashes, which only ever decreases) rides the materializing
+  * action itself as an `observe()` metric instead of a separate
+  * collect. Plan lineage is truncated every `checkpointEvery`
+  * rounds; when the SparkContext has a
   * checkpoint dir configured the truncation is a RELIABLE checkpoint
   * (survives executor loss on a real cluster; the iteration is
   * persisted first so the checkpoint-write job re-reads cache instead
@@ -51,27 +54,35 @@ object ConnectedComponents {
   // the returned frame is localCheckpoint'd (its lineage — detectors +
   // loop — is gone, so the blocks ARE the data and can't be dropped
   // while a caller may still read it). Callers don't manage it, so each
-  // run() retires the PREVIOUS invocation's output: at most one live
-  // label table per JVM instead of one per invocation.
-  private var lastOut: Option[DataFrame] = None
+  // run() retires the PREVIOUS invocation's output FOR ITS OWN SESSION:
+  // at most one live label table per session instead of one per
+  // invocation. Keyed per-session (weak — a dropped session must not pin
+  // its last output) so one session's run cannot invalidate another
+  // session's live result, and a run never frees into a SparkContext it
+  // doesn't own.
+  private val lastOut =
+    new java.util.WeakHashMap[SparkSession, DataFrame]()
 
   /** Free a frame's blocks NOW. `Dataset.unpersist` only drops cache-
     * manager entries; a (local)checkpoint'd frame's blocks belong to
     * the underlying RDD behind its LogicalRDD scan, which the cache
     * manager doesn't know — without this, those blocks linger until the
-    * ContextCleaner notices the RDD is unreachable (GC-async). */
+    * ContextCleaner notices the RDD is unreachable (GC-async). The whole
+    * body is exception-guarded: a frame from a stopped session must not
+    * throw out of free() and abort the CURRENT run. */
   private def free(df: DataFrame): Unit = {
     try df.unpersist(false) catch { case _: Throwable => () }
-    df.queryExecution.analyzed.collectFirst {
+    try df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(r => try r.unpersist(false) catch { case _: Throwable => () })
+    }.foreach(_.unpersist(false)) catch { case _: Throwable => () }
   }
 
   /** edges: DataFrame with string columns (doc_a, doc_b).
     * @return (conv_id, cluster_id) where cluster_id = min member id.
-    *         Valid until the next run() in this JVM (blocks are then
-    *         freed); persist/write it first if you need it longer. */
-  def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 25, checkpointEvery: Int = 1): DataFrame = {
+    *         Valid until the next run() on the SAME SparkSession (blocks
+    *         are then freed); persist/write it first if you need it
+    *         longer, or run from another session to hold two results. */
+  def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 25, checkpointEvery: Int = 1, batchIters: Int = 3): DataFrame = {
     import spark.implicits._
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var tPhase = System.nanoTime()
@@ -81,13 +92,23 @@ object ConnectedComponents {
       tPhase = now
     }
     // ---- phase 1 (session settings: codegen + AQE on) ----
-    // materialize the symmetrized edge set FIRST: the edge input is
+    // materialize the ONE-DIRECTIONAL edge set first: the edge input is
     // often a full detector pipeline (MinHash/SimHash kernels), which
     // must run wide, codegen'd and AQE-planned — only the tiny label
-    // loop below benefits from interpreted eval
-    val symWide = edges
+    // loop below benefits from interpreted eval. Materializing before
+    // symmetrizing matters: a union of two projections of an un-cached
+    // detector plan embeds that plan in BOTH branches, and the map-side
+    // work between the detectors' last exchange and the union executes
+    // twice (ReuseExchange only dedups the exchanges themselves) —
+    // measured ~2× the detector cost at sf0.1. One count here runs the
+    // detectors exactly once; the swap-union then reads this cache.
+    val ed = edges
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .union(edges.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ed.count()
+    val symWide = ed
+      .union(ed.select($"dst".as("src"), $"src".as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -100,6 +121,7 @@ object ConnectedComponents {
     // its corpus, and a fixed session-width dict means hundreds of
     // near-empty tasks in every downstream stage.
     val nEdges = symWide.count()
+    ed.unpersist(false)
     val sessionShuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val dictParts = math.max(1L, math.min(sessionShuffleParts.toLong,
       (nEdges + 32767L) / 32768L)).toInt
@@ -150,7 +172,7 @@ object ConnectedComponents {
     if (!sys.props.get("graft.cc.codegen").contains("true"))
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
     val coded =
-      try runLoop(spark, symCoded, dict, nLabels, maxIters, checkpointEvery)
+      try runLoop(spark, symCoded, dict, nLabels, maxIters, checkpointEvery, batchIters)
       finally {
         lap("loop")
         spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
@@ -173,9 +195,9 @@ object ConnectedComponents {
     coded.unpersist(false)
     symCoded.unpersist(false)
     dict.unpersist(false)
-    synchronized {
-      lastOut.foreach(free)
-      lastOut = Some(out)
+    lastOut.synchronized {
+      Option(lastOut.get(spark)).foreach(free)
+      lastOut.put(spark, out)
     }
     lap("decode")
     out
@@ -190,7 +212,8 @@ object ConnectedComponents {
       dict: DataFrame,
       nLabels: Long,
       maxIters: Int,
-      checkpointEvery: Int): DataFrame = {
+      checkpointEvery: Int,
+      batchIters: Int): DataFrame = {
     import spark.implicits._
     val reliable = spark.sparkContext.getCheckpointDir.isDefined
 
@@ -233,47 +256,70 @@ object ConnectedComponents {
     // strictly decreases in iteration 1 (for any edge (a,b), a<b, node
     // b\'s label drops), so iter 1 can never be the fixpoint — the null
     // sentinel never equals a real sum
-    var prevSum: Any = null
-    var iter = 0
-    var converged = false
-    // blocks superseded by the CURRENT materialized iteration — freed
-    // as soon as the next one is material (includes localCheckpoint
-    // blocks and the initial label table; reliable checkpoint files are
-    // owned by the ContextCleaner when cleanCheckpoints is on)
-    var retired = List[DataFrame](labels)
-    while (iter < maxIters && !converged) {
-      val tIter = System.nanoTime()
-      // min component label among neighbors (partial agg before shuffle)
+    // one hash-min + double-pointer-jump iteration as a pure plan
+    // transform (partial agg before the groupBy(dst) shuffle; the
+    // repeated self-join subtrees share physical exchanges via
+    // ReuseExchange, so each jump costs two more small shuffles, not a
+    // recompute)
+    def step(cur: DataFrame): DataFrame = {
       val nbrMin = sym
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .join(cur.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy($"dst")
         .agg(min($"comp").as("nbr_comp"))
         .withColumnRenamed("dst", "id")
-      val propagated = labels
+      val propagated = cur
         .join(nbrMin, Seq("id"), "left")
         .select($"id", least($"comp", coalesce($"nbr_comp", $"comp")).as("comp"))
-      // pointer jump ×2: comp(v) ← comp(comp(v)), twice — quadruples
-      // path compression per driver round-trip. The repeated subtrees
-      // share physical exchanges (ReuseExchange), so the second jump
-      // costs two more small shuffles, not a recompute.
       val compMap = propagated.select($"id".as("cid"), $"comp".as("ccomp"))
       val jump1 = propagated
         .join(compMap, propagated("comp") === compMap("cid"), "left")
         .select($"id", least($"comp", coalesce($"ccomp", $"comp")).as("comp"))
       val compMap2 = jump1.select($"id".as("cid2"), $"comp".as("ccomp2"))
-      val jumped = jump1
+      jump1
         .join(compMap2, jump1("comp") === compMap2("cid2"), "left")
         .select($"id", least($"comp", coalesce($"ccomp2", $"comp")).as("comp"))
-      // one job: materialize the iteration AND deliver the convergence
+    }
+
+    var prevSum: Any = null
+    var iter = 0
+    var mat = 0 // materializations ("rounds"): one job each
+    var converged = false
+    // blocks superseded by the CURRENT materialized round — freed as
+    // soon as the next one is material (includes localCheckpoint blocks
+    // and the initial label table; reliable checkpoint files are owned
+    // by the ContextCleaner when cleanCheckpoints is on)
+    var retired = List[DataFrame](labels)
+    while (iter < maxIters && !converged) {
+      val tIter = System.nanoTime()
+      // BATCH `batchIters` iterations into ONE job: intermediate
+      // iterations end at a lazy plan boundary (GraftPlanBridge — an
+      // opaque LogicalRDD, so Catalyst analyzes one iteration's tree at
+      // a time instead of the ~8×/iteration tree blowup the self-joins
+      // cause; see ccCheckpointEvery's notes), but nothing runs until
+      // the batch's single materializing count. One driver job-sync —
+      // the CC loop's measured input-independent fixed cost — per
+      // `batchIters` iterations instead of per iteration. No blocks are
+      // persisted at the boundaries and shuffle lineage is intact, so
+      // fault tolerance is unchanged.
+      val thisBatch = math.min(batchIters, maxIters - iter)
+      var cur = labels
+      var b = 0
+      while (b < thisBatch) {
+        cur = step(cur)
+        b += 1
+        if (b < thisBatch)
+          cur = org.apache.spark.sql.GraftPlanBridge.planBoundary(cur)
+      }
+      // one job: materialize the round AND deliver the convergence
       // metric through observe() — no separate driver collect
       val obs = org.apache.spark.sql.Observation()
-      val observed = jumped.observe(obs, labelSumCol)
-      val truncate = (iter + 1) % checkpointEvery == 0
-      // every iteration: persist → count (one job, delivers the
-      // observe metric); on truncation iterations the checkpoint then
-      // re-reads those cached blocks instead of re-executing the whole
-      // iteration (both locally and reliably — RDD checkpointing always
-      // runs a second job over the plan's partitions)
+      val observed = cur.observe(obs, labelSumCol)
+      val truncate = (mat + 1) % checkpointEvery == 0
+      // persist → count (one job, delivers the observe metric); on
+      // truncation rounds the checkpoint then re-reads those cached
+      // blocks instead of re-executing the whole round (both locally
+      // and reliably — RDD checkpointing always runs a second job over
+      // the plan's partitions)
       val p = observed.persist(StorageLevel.MEMORY_AND_DISK)
       p.count()
       val next =
@@ -281,17 +327,21 @@ object ConnectedComponents {
         else if (truncate) { val ck = p.localCheckpoint(true); retired = p :: retired; ck }
         else p
       val curSum = obs.get.getOrElse("label_sum", null)
-      // previous iterations' blocks are dead once `next` is material
+      // previous rounds' blocks are dead once `next` is material
       // (free() also reaches localCheckpoint RDDs the cache manager
       // doesn't track)
       retired.foreach(free)
       retired = List(next)
       labels = next
+      // sums compare round-end to round-end: labels only decrease, so
+      // an unchanged sum across a whole batch means no iteration inside
+      // it changed anything — the fixpoint
       converged = curSum == prevSum
       prevSum = curSum
-      iter += 1
+      iter += thisBatch
+      mat += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
-        System.err.println(f"[cc] iter=$iter ${(System.nanoTime() - tIter) / 1e9}%.2fs converged=$converged")
+        System.err.println(f"[cc] round=$mat iters=$iter ${(System.nanoTime() - tIter) / 1e9}%.2fs converged=$converged")
     }
     if (!(sym eq sym0)) sym.unpersist(false)
     // `labels` is the last materialized iteration (still persisted /

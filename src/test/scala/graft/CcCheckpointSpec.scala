@@ -43,6 +43,40 @@ class CcCheckpointSpec extends SparkSpec {
     assert(sizes("n0") == 10 && sizes("p0") == 2 && sizes("q0") == 2)
   }
 
+  test("two sessions can hold two live CC outputs (retire policy is per-session)") {
+    import spark.implicits._
+    val s2 = spark.newSession()
+    val edges1 = ((0 until 4).map(i => (s"a$i", s"a${i + 1}"))).toDF("doc_a", "doc_b")
+    val out1 = ConnectedComponents.run(spark, edges1)
+    val got1 = out1.as[(String, String)].collect().toMap
+    // a run on ANOTHER session must not free out1's blocks
+    val edges2 = {
+      import s2.implicits._
+      Seq(("b0", "b1"), ("b1", "b2")).toDF("doc_a", "doc_b")
+    }
+    val out2 = ConnectedComponents.run(s2, edges2)
+    // BOTH results readable after both runs
+    assert(out2.as[(String, String)]
+      .collect().toMap == Map("b0" -> "b0", "b1" -> "b0", "b2" -> "b0"))
+    assert(out1.as[(String, String)].collect().toMap == got1,
+      "first session's live CC output was invalidated by another session's run")
+  }
+
+  test("batched iterations (batchIters=3) converge identically to per-iteration runs") {
+    import spark.implicits._
+    // path graph (worst-case diameter) + star + pairs: exercises both
+    // multi-round convergence and the inside-batch fixpoint detection
+    val edges = ((0 until 20).map(i => (s"n$i", s"n${i + 1}")) ++
+      (1 to 5).map(i => ("hub", s"s$i")) ++ Seq(("x0", "x1"))).toDF("doc_a", "doc_b")
+    val perIter = ConnectedComponents.run(spark, edges, batchIters = 1)
+      .as[(String, String)].collect().toMap
+    val batched = ConnectedComponents.run(spark, edges, batchIters = 3)
+      .as[(String, String)].collect().toMap
+    assert(batched == perIter)
+    assert((0 to 20).forall(i => batched(s"n$i") == "n0"))
+    assert(batched("hub") == "hub" && (1 to 5).forall(i => batched(s"s$i") == "hub"))
+  }
+
   test("repeated CC runs do not accumulate cached blocks") {
     import spark.implicits._
     val edges = ((0 until 9).map(i => (s"n$i", s"n${i + 1}")) ++
