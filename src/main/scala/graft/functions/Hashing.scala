@@ -300,4 +300,47 @@ object Hashing {
     }
     sortedDistinct(buf, n)
   }
+
+  /** 128-bit anchor keys, interleaved [hi0, lo0, hi1, lo1, ...] sorted
+    * and deduplicated by (hi, lo). Selection is identical to
+    * [[substringAnchors]] (same grams become anchors, chosen by the
+    * 64-bit `hi` chain), but the JOIN KEY carries a second rolling hash
+    * `lo` with an independent initial state over the same gram. Each
+    * combine step is a different bijection per token sequence, so two
+    * grams colliding on `hi` do not collide on `lo` — the detector's
+    * bucket-match-is-the-decision contract survives the 10^13–10^14
+    * anchor instances of a 10^12-doc corpus, where 64-bit keys cross the
+    * birthday bound (same width rationale as [[graft.Fp]]). Residual
+    * risk is only via two distinct TOKENS colliding at 64 bits inside an
+    * otherwise-identical (q-1)-token context — vanishingly unlikely. */
+  def substringAnchors128(text: String, q: Int, sample: Int): Array[Long] = {
+    require(Integer.bitCount(sample) == 1, s"sample must be a power of two, got $sample")
+    val th = tokenHashes(text)
+    if (th.length < q) return Array.empty
+    val buf = new Array[Long](2 * (th.length - q + 1))
+    var n = 0
+    var i = 0
+    while (i + q <= th.length) {
+      var h = 0x1D8E4E27C47D124FL
+      var h2 = 0x5851F42D4C957F2DL
+      var j = i
+      while (j < i + q) { h = combine(h, th(j)); h2 = combine(h2, th(j)); j += 1 }
+      if ((h & (sample - 1)) == 0) { buf(2 * n) = h; buf(2 * n + 1) = h2; n += 1 }
+      i += 1
+    }
+    // sort + dedup pairs by (hi, lo)
+    val idx = Array.range(0, n)
+    val sorted = idx.sortBy(k => (buf(2 * k), buf(2 * k + 1)))
+    val out = new Array[Long](2 * n)
+    var m = 0
+    var p = 0
+    while (p < n) {
+      val k = sorted(p)
+      if (m == 0 || out(2 * (m - 1)) != buf(2 * k) || out(2 * m - 1) != buf(2 * k + 1)) {
+        out(2 * m) = buf(2 * k); out(2 * m + 1) = buf(2 * k + 1); m += 1
+      }
+      p += 1
+    }
+    if (m == n) out else java.util.Arrays.copyOf(out, 2 * m)
+  }
 }

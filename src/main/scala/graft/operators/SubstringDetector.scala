@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{DedupConfig, Doc, DupPair}
 import graft.functions.Hashing
@@ -18,29 +18,105 @@ import graft.functions.Hashing
   * (q=32, s=8) a 64-token shared block is missed with prob < 1.5%, a
   * 100-token block < 0.01%.
   *
+  * The join key is 128-BIT (struct<hi,lo>, two independently-initialized
+  * rolling hashes of the gram — [[Hashing.substringAnchors128]]): a
+  * bucket match IS the dup decision here, and at the 10^12-doc design
+  * point the corpus carries 10^13–10^14 anchor instances, past the
+  * 64-bit birthday bound — a single-long key would produce real
+  * hash-collision "substring" lineage. Two longs keep collisions at the
+  * 2^-128 scale of the exact-dedup [[graft.Fp]].
+  *
   * Reference analog: content-defined chunk boundaries — copies align on
   * content, not offsets (/root/reference/src/chunk.c:91-96) — applied at
   * token granularity, with the same "fingerprint equality = duplicate"
   * decision as /root/reference/src/dedup.c:129-147.
   *
-  * Scale: anchor extraction is a narrow flatMap; candidate generation is
-  * the capped bucket groupBy shared with the LSH path (boilerplate
-  * blocks shared by millions of docs → star edges, not n² pairs).
+  * Scale: anchor extraction is a narrow flatMap; candidate generation
+  * mirrors [[MinHashLSH.candidatePairs]] — ONE pinned exchange on the
+  * key, in-partition sort, streaming single pass with the same
+  * deterministic-hub star fallback above cfg.bucketCap (boilerplate
+  * blocks shared by millions of docs → linear star edges, not n²).
   */
 object SubstringDetector {
 
-  def dupPairs(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): Dataset[DupPair] = {
+  final case class AnchorKey(k_hi: Long, k_lo: Long, conv_id: String)
+
+  /** (k_hi, k_lo, conv_id) anchor rows — narrow codegen'd flatMap. */
+  def anchorKeys(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): Dataset[AnchorKey] = {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
-    val keys = docs.toDF.select(
-      explode(call_function("graft_substr_anchors", $"doc_text",
-        lit(cfg.substrQ), lit(cfg.substrSample))).as("band_key"),
+    docs.toDF.select(
+      explode(call_function("graft_substr_anchors128", $"doc_text",
+        lit(cfg.substrQ), lit(cfg.substrSample))).as("a"),
       $"conv_id")
-      .as[MinHashLSH.BandKey]
-    MinHashLSH
-      .candidatePairs(spark, keys, cfg)
-      .select($"doc_a", $"doc_b")
-      .as[(String, String)]
-      .map { case (a, b) => DupPair(a, b, "substring", 1.0) }
+      .select($"a.hi".as("k_hi"), $"a.lo".as("k_lo"), $"conv_id")
+      .as[AnchorKey]
+  }
+
+  /** Candidate pairs from shared 128-bit anchor buckets: the two-long-key
+    * twin of [[MinHashLSH.candidatePairs]] (same shape, same guarantees —
+    * sorted groups make the hub the global bucket min, overflow buckets
+    * stream star edges, retries are byte-deterministic). */
+  def candidatePairs(spark: SparkSession, keys: Dataset[AnchorKey], cfg: DedupConfig): DataFrame = {
+    import spark.implicits._
+    val cap = cfg.bucketCap
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    keys.toDF
+      .repartition(parts, col("k_hi"), col("k_lo"))
+      .sortWithinPartitions(col("k_hi"), col("k_lo"), col("conv_id"))
+      .as[AnchorKey]
+      .mapPartitions { it =>
+        val in = it.buffered
+        new scala.collection.AbstractIterator[(String, String)] {
+          private var pending: Iterator[(String, String)] = Iterator.empty
+          private def allPairs(arr: scala.collection.IndexedSeq[String]): Iterator[(String, String)] =
+            for {
+              i <- arr.indices.iterator
+              j <- (i + 1 until arr.length).iterator
+              if arr(i) != arr(j)
+            } yield (arr(i), arr(j))
+          private def advance(): Unit = {
+            if (!in.hasNext) return
+            val hi = in.head.k_hi
+            val lo = in.head.k_lo
+            val hub = in.head.conv_id // sorted ⇒ bucket min
+            val buf = new scala.collection.mutable.ArrayBuffer[String](16)
+            var overflow = false
+            while (in.hasNext && in.head.k_hi == hi && in.head.k_lo == lo && !overflow) {
+              buf += in.next().conv_id
+              if (buf.length > cap) overflow = true
+            }
+            if (!overflow) pending = allPairs(buf)
+            else {
+              val bufEdges = buf.iterator.filter(_ != hub).map(c => (hub, c))
+              val restEdges = new scala.collection.AbstractIterator[(String, String)] {
+                def hasNext: Boolean = in.hasNext && in.head.k_hi == hi && in.head.k_lo == lo
+                def next(): (String, String) = (hub, in.next().conv_id)
+              }.filter(_._2 != hub)
+              pending = bufEdges ++ restEdges
+            }
+          }
+          def hasNext: Boolean = {
+            while (!pending.hasNext && in.hasNext) advance()
+            pending.hasNext
+          }
+          def next(): (String, String) = {
+            if (!hasNext) throw new NoSuchElementException
+            pending.next()
+          }
+        }
+      }
+      .toDF("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  def dupPairs(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): Dataset[DupPair] = {
+    import spark.implicits._
+    candidatePairs(spark, anchorKeys(spark, docs, cfg), cfg)
+      // constant columns via select+lit stays inside codegen — a typed
+      // .map here would pay a full encoder round-trip per pair
+      .select($"doc_a", $"doc_b",
+        lit("substring").as("detector"), lit(1.0).as("score"))
+      .as[DupPair]
   }
 }

@@ -86,15 +86,18 @@ object TextAnalysis {
     * Identity is a 128-bit composite of two doc fingerprints so the
     * groupBy shuffles 16 bytes per doc, never the text, and stays
     * collision-safe at 10^12 docs (a single 64-bit key collides with
-    * near-certainty there). The second half hashes `text ⧺ " q7"`:
-    * normalize(t ⧺ " q7") is a pure function of normalize(t) (suffix
-    * survives whitespace collapse + trim), so both halves respect
-    * normalization identity while being independent hashes. */
+    * near-certainty there). The second half is the SAME normalized text
+    * hashed under a different FNV initial state (seeded graft_doc_fp):
+    * each seed induces a different bytes→hash bijection, so a collision
+    * on fp_hi does not propagate to fp_lo — unlike hashing a derived
+    * string (e.g. text ⧺ suffix), where the suffixed FNV state is a
+    * bijective function of the unsuffixed one and both halves collide
+    * together, silently reducing the key to 64 bits of entropy. */
   def keepCorpus(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("fp_hi", call_function("graft_doc_fp", col("text")))
-      .withColumn("fp_lo", call_function("graft_doc_fp", concat(col("text"), lit(" q7"))))
+      .withColumn("fp_lo", call_function("graft_doc_fp", col("text"), lit(0x71C67A39E5B495A7L)))
       .groupBy(col("fp_hi"), col("fp_lo"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_refs"))
       .select(col("doc_id"), col("n_refs"))

@@ -42,6 +42,20 @@ object GraftKernels {
   def substrAnchors(text: UTF8String, q: Int, sample: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(Hashing.substringAnchors(text.toString, q, sample))
 
+  /** 128-bit anchor keys as interleaved [hi0, lo0, hi1, lo1, ...] —
+    * [[SubstrAnchors128Expr]] reshapes them into struct rows. */
+  def substrAnchors128(text: UTF8String, q: Int, sample: Int): ArrayData = {
+    val flat = Hashing.substringAnchors128(text.toString, q, sample)
+    val n = flat.length / 2
+    val rows = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(flat(2 * i), flat(2 * i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   def ballKeys(h: Long, blocks: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(Hashing.simhashBallKeys(h, blocks))
 
@@ -50,6 +64,14 @@ object GraftKernels {
 
   def docFp(text: UTF8String): Long =
     Hashing.hashString(Hashing.normalize(text.toString))
+
+  /** Seeded variant: the seed perturbs the FNV initial state, so the
+    * byte-stream→hash bijection differs per seed and two texts colliding
+    * at seed 0 do not collide at another seed — two seeded halves give a
+    * genuine 128-bit composite key (unlike hashing a derived string,
+    * where the second half is a bijective function of the first). */
+  def docFpSeeded(text: UTF8String, seed: Long): Long =
+    Hashing.hashString(Hashing.normalize(text.toString), seed)
 
   /** Executor-wide cache of deserialized Bloom filters: the expression
     * instance lives inside the task binary and is deserialized PER
@@ -91,16 +113,16 @@ object GraftKernels {
   * whitespace-collapsed, case-folded text). Native so the text-analysis
   * path stays fully inside whole-stage codegen (its sibling kernels
   * already are). */
-case class DocFpExpr(child: Expression) extends UnaryExpression {
+case class DocFpExpr(child: Expression, seed: Long = 0L) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires StringType, got ${child.dataType}")
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_doc_fp"
   override protected def nullSafeEval(input: Any): Any =
-    GraftKernels.docFp(input.asInstanceOf[UTF8String])
+    GraftKernels.docFpSeeded(input.asInstanceOf[UTF8String], seed)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.GraftKernels.docFp($c)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftKernels.docFpSeeded($c, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): DocFpExpr =
     copy(child = newChild)
 }
@@ -170,6 +192,31 @@ case class SubstrAnchorsExpr(child: Expression, q: Int, sample: Int)
     defineCodeGen(ctx, ev, c =>
       s"graft.plans.GraftKernels.substrAnchors($c, $q, $sample)")
   override protected def withNewChildInternal(newChild: Expression): SubstrAnchorsExpr =
+    copy(child = newChild)
+}
+
+/** text → 128-bit winnowed anchor keys, array<struct<hi,lo>>. The
+  * 64-bit [[SubstrAnchorsExpr]] selects the same grams; this variant
+  * carries a second independently-initialized rolling hash so a bucket
+  * match implies a 128-bit key match — collision-safe at the 10^12-doc
+  * design point where 64-bit anchor instances cross the birthday bound. */
+case class SubstrAnchors128Expr(child: Expression, q: Int, sample: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires StringType, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("hi", LongType, nullable = false),
+      StructField("lo", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_substr_anchors128"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.substrAnchors128(input.asInstanceOf[UTF8String], q, sample)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.GraftKernels.substrAnchors128($c, $q, $sample)")
+  override protected def withNewChildInternal(newChild: Expression): SubstrAnchors128Expr =
     copy(child = newChild)
 }
 
@@ -267,9 +314,13 @@ object GraftFunctions {
       BandHashesExpr(cs.head, litInt(cs(1), "bands"), litInt(cs(2), "rowsPerBand"))),
     "graft_substr_anchors" -> (cs =>
       SubstrAnchorsExpr(cs.head, litInt(cs(1), "q"), litInt(cs(2), "sample"))),
+    "graft_substr_anchors128" -> (cs =>
+      SubstrAnchors128Expr(cs.head, litInt(cs(1), "q"), litInt(cs(2), "sample"))),
     "graft_ball_keys" -> (cs => BallKeysExpr(cs.head, litInt(cs(1), "blocks"))),
     "graft_sig_jaccard" -> (cs => SigJaccardExpr(cs.head, cs(1))),
-    "graft_doc_fp" -> (cs => DocFpExpr(cs.head)),
+    "graft_doc_fp" -> (cs =>
+      if (cs.length >= 2) DocFpExpr(cs.head, litLong(cs(1), "seed"))
+      else DocFpExpr(cs.head)),
     // the internal bloom-filter aggregate/probe (Spark uses them for
     // runtime join filters but does not expose SQL names in 4.1):
     // graft_bloom_agg(longCol, expectedItems, numBits) → binary,

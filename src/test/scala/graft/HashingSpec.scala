@@ -112,6 +112,24 @@ class HashingSpec extends AnyFunSuite {
     assert(substringAnchors(c, 32, 8).intersect(aa).isEmpty)
   }
 
+  test("substringAnchors128: same gram selection as 64-bit, independent lo half") {
+    val block = (1 to 80).map(i => s"blk$i").mkString(" ")
+    val a = "prefix one two three " + block + " suffix four"
+    val b = "other intro words here now " + block + " different tail"
+    def pairs(flat: Array[Long]): Set[(Long, Long)] =
+      flat.grouped(2).map(p => (p(0), p(1))).toSet
+    val aa = pairs(substringAnchors128(a, 32, 8))
+    val bb = pairs(substringAnchors128(b, 32, 8))
+    // hi halves are exactly the 64-bit anchors (same grams selected)
+    assert(aa.map(_._1) == substringAnchors(a, 32, 8).toSet)
+    // shared block ⇒ shared FULL 128-bit key (both halves agree on the
+    // shared gram), and lo is not a copy of hi
+    assert(aa.intersect(bb).nonEmpty)
+    assert(aa.forall { case (hi, lo) => hi != lo })
+    // deterministic
+    assert(pairs(substringAnchors128(a, 32, 8)) == aa)
+  }
+
   test("substringAnchors rejects non-power-of-two sample rates") {
     intercept[IllegalArgumentException] {
       substringAnchors("a b c", 2, 6)
