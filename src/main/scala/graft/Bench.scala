@@ -87,14 +87,16 @@ object Bench {
     } finally f.delete()
   }
 
-  /** Benchmark-environment normalization (idempotent, fully disclosed
-    * in BASELINE.md + scripts/envprep.sh): stop the guest kernel's free
-    * page reporting so freed pages stay faulted, then pre-fault a pool
-    * covering the bench's peak footprint. The sysfs writes run in
-    * SACRIFICIAL child processes — on this kernel the balloon unbind
-    * oopses the (buggy) driver and kills the writing process, which
-    * must not be this JVM. No-op without root / outside the sandbox. */
-  def tryEnvPrep(prefaultGb: Int = 24): Boolean = {
+  /** MACHINE-LEVEL benchmark-environment normalization (disclosed in
+    * BASELINE.md + scripts/envprep.sh): stop the guest kernel's free
+    * page reporting so freed pages stay faulted. Mutates kernel/device
+    * state, so it runs ONLY under an explicit GRAFT_ENV_PREP=1/true
+    * opt-in (never inferred from a kernel-name heuristic: other
+    * Firecracker guests may genuinely need their balloon, and the
+    * unbind oopses this kernel's buggy driver). The sysfs writes run in
+    * SACRIFICIAL child processes — the oops kills the writing process,
+    * which must not be this JVM. No-op without root. */
+  def tryEnvPrep(): Boolean = {
     def sacrificialWrite(path: String, value: String): Unit =
       try {
         val p = new ProcessBuilder("sh", "-c", s"echo $value > $path")
@@ -105,7 +107,14 @@ object Bench {
     if (!order.exists()) return false
     sacrificialWrite(order.getPath, "10")
     sacrificialWrite("/sys/bus/virtio/drivers/virtio_balloon/unbind", "virtio0")
-    // parallel pre-fault: with reporting stopped the pool stays warm
+    true
+  }
+
+  /** Process-local pre-fault of the shuffle pool (plain file writes —
+    * no kernel state touched, safe to auto-run): with reporting already
+    * stopped the pool stays warm; with reporting active it still front-
+    * loads the first-touch faults out of the measured passes. */
+  def prefaultPool(prefaultGb: Int = 24): Unit = {
     val d = new java.io.File(shuffleDir); d.mkdirs()
     val threads = (1 to 8).map { t =>
       val th = new Thread(() => {
@@ -119,7 +128,6 @@ object Bench {
       th.setDaemon(true); th.start(); th
     }
     threads.foreach(_.join())
-    true
   }
 
   def buildSession(cpus: String): SparkSession = {
@@ -243,26 +251,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val measuredPasses = sys.env.getOrElse("GRAFT_BENCH_PASSES", "2").toInt
+    val measuredPasses = sys.env.getOrElse("GRAFT_BENCH_PASSES", "3").toInt
     // environment health gate: if fresh pages cost VMM faults (this
     // sandbox's free-page-reporting tax, BASELINE.md round 3), every
-    // number below measures the hypervisor, not the engine — normalize
-    // first and report both probes so the artifact self-documents.
-    // The machine-level prep (sysfs writes) only auto-runs on THIS
-    // sandbox's kernel signature ("-fc-" release, where the balloon
-    // serves no host purpose) or with explicit GRAFT_ENV_PREP=1;
-    // GRAFT_ENV_PREP=0 disables it everywhere.
+    // number below measures the hypervisor, not the engine — the probe
+    // pair (before/after) always rides the artifact so it self-documents
+    // whether the tax was active. Machine-level prep (sysfs writes)
+    // requires an EXPLICIT GRAFT_ENV_PREP=1 or true — strictly parsed;
+    // "false"/"0"/typos all DISABLE (a benchmark must never mutate
+    // kernel/device state as a side effect of an ambiguous flag). The
+    // read-only probe and the file-write pre-fault still auto-run.
     val pfBefore = pageFaultProbeMbps()
-    val prepAllowed = sys.env.get("GRAFT_ENV_PREP") match {
-      case Some("0") => false
-      case Some(_) => true
-      case None =>
-        try scala.io.Source.fromFile("/proc/sys/kernel/osrelease")
-          .mkString.contains("-fc-")
-        catch { case _: Throwable => false }
-    }
+    val prepAllowed = sys.env.get("GRAFT_ENV_PREP")
+      .exists(v => v == "1" || v == "true")
     val prepped = if (pfBefore < 50.0 && prepAllowed) tryEnvPrep() else false
-    val pfAfter = if (prepped) pageFaultProbeMbps() else pfBefore
+    if (pfBefore < 50.0) prefaultPool()
+    val pfAfter = if (prepped || pfBefore < 50.0) pageFaultProbeMbps() else pfBefore
     System.err.println(
       f"[bench] page-fault probe: ${pfBefore}%.0f MB/s before, ${pfAfter}%.0f after (env_prep=$prepped)")
     val spark = buildSession(cpus)
@@ -270,6 +274,14 @@ object Bench {
     val nTurns = spark.read.parquet(s"$sfDir/events.parquet").count()
 
     runOnce(spark, sfDir) // full warm pass, untimed
+    // cluster_assign builds FRESH plans every CC iteration (self-joins
+    // on new cache scans), so one generic pass under-warms it — its
+    // first measured sample historically ran ~1.6× its steady state
+    // while every other query was warm after one pass. Warm it once
+    // more, alone, so the measured passes start at steady state.
+    headline(spark, sfDir).find(_._1 == "cluster_assign").foreach { case (_, fn) =>
+      try { fn(); () } catch { case _: Throwable => () }
+    }
 
     val passes = (1 to measuredPasses).map { p =>
       val r = runOnce(spark, sfDir)
@@ -289,8 +301,15 @@ object Bench {
     val total = names.map(best).sum
     val dedupSecs = names.filter(DedupStages.contains).map(best).sum
     val tps = if (dedupSecs > 0) nTurns / dedupSecs else 0.0
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"samples":$samplesJson,"passes":$measuredPasses,"sf":"$sfDir","turns":$nTurns,"dedup_pipeline_sec":${f"$dedupSecs%.3f"},"dedup_turns_per_sec":${f"$tps%.1f"},"cpus":$cpus,"page_fault_mbps_before":${f"$pfBefore%.1f"},"page_fault_mbps_after":${f"$pfAfter%.1f"},"env_prep":$prepped}""")
+    val json =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"samples":$samplesJson,"passes":$measuredPasses,"sf":"$sfDir","turns":$nTurns,"dedup_pipeline_sec":${f"$dedupSecs%.3f"},"dedup_turns_per_sec":${f"$tps%.1f"},"cpus":"$cpus","page_fault_mbps_before":${f"$pfBefore%.1f"},"page_fault_mbps_after":${f"$pfAfter%.1f"},"env_prep":$prepped}"""
+    println(json)
+    // ALSO a file: sbt prefixes stdout with "[info] ", which breaks any
+    // structured parse of the printed line (every round's driver
+    // artifact had "parsed": null) — the file is always clean JSON
+    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

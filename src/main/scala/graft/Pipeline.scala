@@ -61,7 +61,6 @@ object Pipeline {
       transcripts: DataFrame,
       storeRoot: String,
       cfg: DedupConfig = DedupConfig.default): Result = {
-    import spark.implicits._
     val store = new TableStore(storeRoot)
     val metricsBuf = scala.collection.mutable.ArrayBuffer.empty[StageMetrics]
 
@@ -71,13 +70,35 @@ object Pipeline {
     // fallback, (b) a session running pipelines against several stores
     // never writes one store's recovery data into another (the dir is
     // re-pointed every run, not only when unset), and (c) the files —
-    // dead once every stage is committed to parquet — are deleted at
-    // the end of the run instead of accumulating across runs (the
-    // ContextCleaner only reclaims them when cleanCheckpoints is set,
-    // which can't be enabled on an already-running context).
-    val ckptDir = java.nio.file.Paths.get(
-      storeRoot, "_checkpoints", s"run_${System.nanoTime()}")
+    // dead once every stage is committed to parquet — are deleted in a
+    // finally (a KILLED run must not leak its dir: killed runs are the
+    // resume scenario's whole premise) and any stale run_* siblings a
+    // previous crash left behind are swept at startup. Deletion goes
+    // through the Hadoop FileSystem resolved from the path, so a
+    // non-local storeRoot (hdfs://, s3a://) is cleaned just the same —
+    // java.io.File would silently delete nothing there. Concurrent
+    // pipelines against the SAME store are unsupported anyway (manifest
+    // commits would race), so the sweep cannot hit a live run's dir.
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val ckptParent = new org.apache.hadoop.fs.Path(storeRoot, "_checkpoints")
+    val fs = ckptParent.getFileSystem(hadoopConf)
+    if (fs.exists(ckptParent))
+      fs.listStatus(ckptParent)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("run_"))
+        .foreach(st => fs.delete(st.getPath, true))
+    val ckptDir = new org.apache.hadoop.fs.Path(ckptParent, s"run_${System.nanoTime()}")
     spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    try runStages(spark, transcripts, store, cfg, metricsBuf)
+    finally fs.delete(ckptDir, true)
+  }
+
+  private def runStages(
+      spark: SparkSession,
+      transcripts: DataFrame,
+      store: TableStore,
+      cfg: DedupConfig,
+      metricsBuf: scala.collection.mutable.ArrayBuffer[StageMetrics]): Result = {
+    import spark.implicits._
 
     /** Run one stage and record its metrics. `obs` is attached to the
       * stage's primary output inside the body, so the counters ride the
@@ -146,9 +167,13 @@ object Pipeline {
       }
     }
 
+    // rows_in for the pairs stage = documents scanned by the detectors —
+    // already counted by the docs stage (its rows_out), fresh or resumed;
+    // no extra job
+    val docsRowsIn = metricsBuf.find(_.stage == "docs").map(_.rows_out).getOrElse(-1L)
     val obsPairs = Observation()
     val pairsOut = timed("pairs", obsPairs)({
-      val n = committedCount("pairs", "dup_pairs"); (-1L, n, n)
+      val n = committedCount("pairs", "dup_pairs"); (docsRowsIn, n, n)
     }) {
       store.stage(spark, "pairs", Seq("dup_pairs")) {
         val exactPairs = ExactDedup.docDupPairs(spark, docs.toDF)
@@ -157,15 +182,17 @@ object Pipeline {
         val ss = SubstringDetector.dupPairs(spark, docs, cfg).toDF
         Map("dup_pairs" -> exactPairs.unionByName(mh).unionByName(sh).unionByName(ss)
           .observe(obsPairs,
-            lit(-1L).cast("long").as("rows_in"),
+            lit(docsRowsIn).cast("long").as("rows_in"),
             count(lit(1)).as("rows_out"),
             count(lit(1)).as("dup_pairs")))
       }
     }
 
+    // rows_in for clusters = dup pairs fed to CC = pairs stage rows_out
+    val pairsRowsIn = metricsBuf.find(_.stage == "pairs").map(_.rows_out).getOrElse(-1L)
     val obsClusters = Observation()
     val clustersOut = timed("clusters", obsClusters)(
-      (-1L, committedCount("clusters", "clusters"), -1L)) {
+      (pairsRowsIn, committedCount("clusters", "clusters"), -1L)) {
       store.stage(spark, "clusters", Seq("clusters"),
         Map("clusters" -> ClustersLayout)) {
         // substring edges link docs that merely SHARE a block — they are
@@ -179,7 +206,7 @@ object Pipeline {
         Map("clusters" -> Clustering.assign(spark, docs, wholeDocPairs, cfg).toDF
           .withColumn("pbucket", pbucket($"conv_id"))
           .observe(obsClusters,
-            lit(-1L).cast("long").as("rows_in"),
+            lit(pairsRowsIn).cast("long").as("rows_in"),
             count(lit(1)).as("rows_out"),
             sum(when($"is_representative", 0L).otherwise(1L)).as("dup_pairs")))
       }
@@ -236,16 +263,6 @@ object Pipeline {
             lit(0L).cast("long").as("dup_pairs")))
       }
     }
-
-    // every stage is committed to parquet and the Result frames read
-    // from those committed tables — the run's reliable checkpoints are
-    // unreachable now, delete them
-    def deleteRec(f: java.io.File): Unit = {
-      val kids = f.listFiles()
-      if (kids != null) kids.foreach(deleteRec)
-      f.delete(): Unit
-    }
-    deleteRec(ckptDir.toFile)
 
     Result(
       docs = docsOut("docs"),

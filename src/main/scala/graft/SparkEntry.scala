@@ -200,6 +200,10 @@ object SparkEntry {
       Clustering.assign(s, docs, pairs, DedupConfig.default).toDF
         .select($"conv_id", $"cluster_id", $"representative", $"is_representative")
     }),
+    // full-oracle over the RAW corpus: the sf data is dup-free, so the
+    // exact expected output is "every conversation is its own singleton
+    // cluster and representative" — the same SQL as
+    // q_cluster_planted_members minus the planted union.
     "q_clusters" -> ((s, dir) => {
       import s.implicits._
       val docs = DocAssembly.assemble(s, transcriptsView(s, dir))
@@ -207,6 +211,7 @@ object SparkEntry {
         .unionByName(MinHashLSH.dupPairs(s, docs, DedupConfig.default))
         .unionByName(SimHashDetector.dupPairs(s, docs, DedupConfig.default))
       Clustering.assign(s, docs, pairs, DedupConfig.default).toDF
+        .select($"conv_id", $"cluster_id", $"representative", $"is_representative")
     }),
     // ---- text analysis over the documents table ----
     "q_token_count" -> ((s, dir) => {
@@ -266,8 +271,59 @@ object SparkEntry {
         (0L until 20L).toSeq, k = 1)
         .select($"query_id", $"neighbor_id", $"rank")
     }),
-    "q_embed_ann" -> ((s, dir) =>
-      EmbeddingSim.rhpBucketTopK(s, readT(s, dir, "embeddings"), k = 5)),
+    // ANN contract check, fully DuckDB-oracled (q_restore_equality
+    // pattern: Spark computes the violation counts, DuckDB pins their
+    // exact expected values). The ANN result itself is a deterministic
+    // function of the seeded hyperplanes — reproducible in Spark but
+    // not SQL-expressible — so the oracle pins the INVARIANTS that hold
+    // for any correct run over raw ∪ planted-copies:
+    //   - every emitted pair's cos_x10000 equals an independently
+    //     re-joined exact-cosine recompute (cosineCol itself is
+    //     DuckDB-anchored by q_embed_top1's full hash match against
+    //     list_cosine_similarity) → cos_mismatches = 0
+    //   - per query, ranks are exactly 1..m with non-increasing cosine
+    //     → rank_violations = 0; no self pairs, no duplicate pairs
+    //   - recall floor: every planted identical copy (vec_id + 10^7 of
+    //     each vec_id ≡ 3 mod 100) is found at rank 1, cos ≥ 0.999, in
+    //     BOTH directions → planted_found_rank1 = n_planted = 2·|sel|
+    // Non-vacuity is structural: n_planted > 0, and an empty ANN result
+    // would fail the recall row.
+    "q_embed_ann" -> ((s, dir) => {
+      import s.implicits._
+      val e = readT(s, dir, "embeddings").select($"vec_id", $"embedding")
+      val copies = e.filter($"vec_id" % 100 === 3)
+        .select(($"vec_id" + 10000000L).as("vec_id"), $"embedding")
+      val corpus = e.unionByName(copies)
+      val ann = EmbeddingSim.rhpBucketTopK(s, corpus, k = 5)
+      val embD = corpus.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      val w = Window.partitionBy($"query_id").orderBy($"rank")
+      val checked = ann
+        .join(embD.withColumnsRenamed(Map("vec_id" -> "query_id", "embedding" -> "q_emb")),
+          Seq("query_id"))
+        .join(embD.withColumnsRenamed(Map("vec_id" -> "neighbor_id")), Seq("neighbor_id"))
+        .withColumn("cos2_x10000",
+          floor(EmbeddingSim.cosineCol($"q_emb", $"embedding") * 10000).cast("bigint"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_cos", lag($"cos_x10000", 1).over(w))
+        .withColumn("is_planted",
+          ($"query_id" % 100 === 3 && $"neighbor_id" === $"query_id" + 10000000L) ||
+          ($"query_id" >= 10000000L && $"neighbor_id" === $"query_id" - 10000000L))
+      val agg = checked.agg(
+        coalesce(sum(when($"is_planted" && $"rank" === 1 && $"cos_x10000" >= 9990, 1L)
+          .otherwise(0L)), lit(0L)).as("planted_found_rank1"),
+        coalesce(sum(when($"cos2_x10000" =!= $"cos_x10000", 1L).otherwise(0L)), lit(0L))
+          .as("cos_mismatches"),
+        coalesce(sum(when($"rn" =!= $"rank" || $"rank" > 5 ||
+          ($"prev_cos".isNotNull && $"prev_cos" < $"cos_x10000"), 1L).otherwise(0L)), lit(0L))
+          .as("rank_violations"),
+        coalesce(sum(when($"query_id" === $"neighbor_id", 1L).otherwise(0L)), lit(0L))
+          .as("self_pairs"),
+        (count(lit(1)) - countDistinct($"query_id", $"neighbor_id")).as("dup_pairs"))
+      val nPlanted = copies.agg((count(lit(1)) * 2).as("n_planted"))
+      agg.crossJoin(nPlanted)
+        .select($"n_planted", $"planted_found_rank1", $"cos_mismatches",
+          $"rank_violations", $"self_pairs", $"dup_pairs")
+    }),
     // ANN recall oracle: plant an EXACT copy (vec_id + 10^7) of every
     // vec_id ≡ 3 (mod 100). Identical vectors share every RHP bucket
     // (same sign bits in all tables), so the detector must emit each
@@ -409,6 +465,14 @@ object SparkEntry {
     "q_minhash_pairs" -> emptyPairsSql,
     "q_simhash_pairs" -> emptyPairsSql,
     "q_substring_pairs" -> emptyPairsSql,
+    // raw corpus is dup-free ⇒ all-singletons is the exact expected
+    // clustering (recall direction covered by q_cluster_planted_members)
+    "q_clusters" ->
+      s"""WITH t AS ($transcriptsViewSql),
+         |ids AS (SELECT DISTINCT conv_id FROM t)
+         |SELECT conv_id, conv_id AS cluster_id, conv_id AS representative,
+         |       true AS is_representative
+         |FROM ids""".stripMargin,
     "q_cluster_planted_members" ->
       s"""WITH t AS ($transcriptsViewSql),
          |ids AS (SELECT DISTINCT conv_id FROM t),
@@ -435,6 +499,14 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE doc_id % 1000 < CASE lang WHEN 'en' THEN 200
         |                                WHEN 'zh' THEN 500 ELSE 50 END""".stripMargin,
+    "q_embed_ann" ->
+      """WITH sel AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 3)
+        |SELECT CAST(2 * (SELECT count(*) FROM sel) AS BIGINT) AS n_planted,
+        |  CAST(2 * (SELECT count(*) FROM sel) AS BIGINT) AS planted_found_rank1,
+        |  CAST(0 AS BIGINT) AS cos_mismatches,
+        |  CAST(0 AS BIGINT) AS rank_violations,
+        |  CAST(0 AS BIGINT) AS self_pairs,
+        |  CAST(0 AS BIGINT) AS dup_pairs""".stripMargin,
     "q_embed_ann_planted" ->
       """WITH sel AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 3)
         |SELECT vec_id AS query_id, vec_id + 10000000 AS neighbor_id FROM sel

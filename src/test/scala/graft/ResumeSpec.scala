@@ -38,6 +38,27 @@ class ResumeSpec extends SparkSpec {
       "pipeline left reliable-checkpoint files behind after commit")
   }
 
+  test("failed run leaves no checkpoint dir; stale run_* dirs from crashes are swept") {
+    val store = tmpDir("resume7")
+    // a previous hard-killed run (no finally ran) left its dir behind
+    val stale = Paths.get(store, "_checkpoints", "run_12345")
+    Files.createDirectories(stale)
+    Files.writeString(stale.resolve("leftover.bin"), "x")
+    // this run FAILS mid-stage (input lacks the text column) — the
+    // finally must still delete its own per-run dir, and the startup
+    // sweep must have removed the stale one
+    val broken = transcripts.drop("text")
+    intercept[Exception] { Pipeline.run(spark, broken, store) }
+    val ckRoot = Paths.get(store, "_checkpoints")
+    val residue =
+      if (!Files.exists(ckRoot)) Nil
+      else { import scala.jdk.CollectionConverters._
+        Files.list(ckRoot).iterator().asScala.toList }
+    assert(residue.isEmpty, s"checkpoint residue after failed run: $residue")
+    // and a good run against the same store still works end-to-end
+    assert(clustersOf(store).size == N)
+  }
+
   test("committed stages are not recomputed on resume (manifest mtime unchanged)") {
     val store = tmpDir("resume2")
     clustersOf(store)
