@@ -29,15 +29,17 @@ object Bench {
       "simhash_pairs" -> (() => SimHashDetector.dupPairs(s, docs(), cfg).count()),
       "substring_pairs" -> (() => SubstringDetector.dupPairs(s, docs(), cfg).count()),
       "cluster_assign" -> (() => {
-        // docs feeds three detectors + the final assignment join: cache
+        // docs feeds the detectors + the final assignment join: cache
         // it once (parity with runDedupWorkload) or assembly re-executes
-        // ~4× inside this one query; repartition first — see
-        // runDedupWorkload's note on AQE-coalesced cache parallelism
+        // inside this one query; repartition first — see
+        // runDedupWorkload's note on AQE-coalesced cache parallelism.
+        // Detection is the FUSED sweep (one tokenization pass, one key
+        // exchange for minhash+simhash) — the production clustering path.
         val d = docs().repartition(s.sparkContext.defaultParallelism * 4).cache()
+        d.count() // eager: concurrent AQE branches must read cache, not re-assemble
         try {
           val pairs = ExactDedup.docDupPairs(s, d.toDF).as[DupPair]
-            .unionByName(MinHashLSH.dupPairs(s, d, cfg))
-            .unionByName(SimHashDetector.dupPairs(s, d, cfg))
+            .unionByName(FusedDetectors.dupPairs(s, d, cfg))
           Clustering.assign(s, d, pairs, cfg).count()
         } finally d.unpersist(false)
       }),
@@ -220,17 +222,13 @@ object Bench {
     docs.count(); lap("doc_assembly")
     val turnMap = ExactDedup.dedupTurns(s, transcripts).cache()
     turnMap.count(); lap("turn_dedup")
-    val mhSigs = MinHashLSH.signatures(s, docs, cfg).cache()
-    val mh = MinHashLSH.verifiedPairs(s,
-      MinHashLSH.candidatePairs(s, MinHashLSH.bandKeys(s, mhSigs, cfg), cfg), mhSigs, cfg)
-    val sh = SimHashDetector.dupPairs(s, docs, cfg)
+    val fused = FusedDetectors.dupPairs(s, docs, cfg)
     val ss = SubstringDetector.dupPairs(s, docs, cfg)
     val exact = ExactDedup.docDupPairs(s, docs.toDF).as[DupPair]
     val nPairs = exact.toDF
-      .unionByName(mh.toDF).unionByName(sh.toDF)
+      .unionByName(fused.toDF)
       .cache()
     nPairs.count(); ss.count(); lap("detectors")
-    mhSigs.unpersist(false)
     Clustering.assign(s, docs, nPairs.as[DupPair], cfg).count(); lap("clustering")
     nPairs.unpersist(false)
     val lineage = turnMap.select($"conv_id", $"turn_idx", $"fp")

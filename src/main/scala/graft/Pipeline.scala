@@ -177,10 +177,12 @@ object Pipeline {
     }) {
       store.stage(spark, "pairs", Seq("dup_pairs")) {
         val exactPairs = ExactDedup.docDupPairs(spark, docs.toDF)
-        val mh = MinHashLSH.dupPairs(spark, docs, cfg).toDF
-        val sh = SimHashDetector.dupPairs(spark, docs, cfg).toDF
+        // minhash+simhash run as the FUSED sweep (one tokenization pass,
+        // one tagged key exchange) — row-identical to the standalone
+        // detectors' union; substring keeps its own 128-bit key space
+        val fused = FusedDetectors.dupPairs(spark, docs, cfg).toDF
         val ss = SubstringDetector.dupPairs(spark, docs, cfg).toDF
-        Map("dup_pairs" -> exactPairs.unionByName(mh).unionByName(sh).unionByName(ss)
+        Map("dup_pairs" -> exactPairs.unionByName(fused).unionByName(ss)
           .observe(obsPairs,
             lit(docsRowsIn).cast("long").as("rows_in"),
             count(lit(1)).as("rows_out"),

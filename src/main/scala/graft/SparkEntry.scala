@@ -177,8 +177,7 @@ object SparkEntry {
       import s.implicits._
       val docs = DocAssembly.assemble(s, plantedTranscriptsView(s, dir))
       val pairs = ExactDedup.docDupPairs(s, docs.toDF).as[DupPair]
-        .unionByName(MinHashLSH.dupPairs(s, docs, DedupConfig.default))
-        .unionByName(SimHashDetector.dupPairs(s, docs, DedupConfig.default))
+        .unionByName(FusedDetectors.dupPairs(s, docs, DedupConfig.default))
       Clustering.assign(s, docs, pairs, DedupConfig.default).toDF
         .agg(
           count(lit(1)).as("n_docs"),
@@ -195,8 +194,7 @@ object SparkEntry {
       import s.implicits._
       val docs = DocAssembly.assemble(s, plantedTranscriptsView(s, dir))
       val pairs = ExactDedup.docDupPairs(s, docs.toDF).as[DupPair]
-        .unionByName(MinHashLSH.dupPairs(s, docs, DedupConfig.default))
-        .unionByName(SimHashDetector.dupPairs(s, docs, DedupConfig.default))
+        .unionByName(FusedDetectors.dupPairs(s, docs, DedupConfig.default))
       Clustering.assign(s, docs, pairs, DedupConfig.default).toDF
         .select($"conv_id", $"cluster_id", $"representative", $"is_representative")
     }),
@@ -208,8 +206,7 @@ object SparkEntry {
       import s.implicits._
       val docs = DocAssembly.assemble(s, transcriptsView(s, dir))
       val pairs = ExactDedup.docDupPairs(s, docs.toDF).as[DupPair]
-        .unionByName(MinHashLSH.dupPairs(s, docs, DedupConfig.default))
-        .unionByName(SimHashDetector.dupPairs(s, docs, DedupConfig.default))
+        .unionByName(FusedDetectors.dupPairs(s, docs, DedupConfig.default))
       Clustering.assign(s, docs, pairs, DedupConfig.default).toDF
         .select($"conv_id", $"cluster_id", $"representative", $"is_representative")
     }),

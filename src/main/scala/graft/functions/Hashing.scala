@@ -121,8 +121,13 @@ object Hashing {
     * 64-bit collisions). Short docs (< k tokens) get one whole-doc
     * shingle so they still carry a signature. Primitive arrays + sort
     * dedup — zero boxing on the hot path. */
-  def shingleHashes(text: String, k: Int): Array[Long] = {
-    val th = tokenHashes(text)
+  def shingleHashes(text: String, k: Int): Array[Long] =
+    shingleHashesFromTokens(tokenHashes(text), k)
+
+  /** Same as [[shingleHashes]] but over an already-tokenized hash
+    * stream — lets callers that need SEVERAL shingle widths of the same
+    * text (the fused detector kernel) tokenize once. */
+  def shingleHashesFromTokens(th: Array[Long], k: Int): Array[Long] = {
     if (th.isEmpty) return Array.empty
     val n = math.max(1, th.length - k + 1)
     val buf = new Array[Long](n)
@@ -299,6 +304,21 @@ object Hashing {
       i += 1
     }
     sortedDistinct(buf, n)
+  }
+
+  /** Both near-dup signatures of a doc in ONE tokenization pass:
+    * (minhash signature over k1-shingles, 64-bit simhash over
+    * k2-shingles). Bit-identical to calling [[minhashSignature]] ∘
+    * [[shingleHashes]] and [[simhash]] ∘ [[shingleHashes]] separately —
+    * the fusion only removes the duplicate normalize+tokenize walk over
+    * the text, which the two standalone detector kernels each repay.
+    * At corpus scale that walk is a full extra pass over every byte of
+    * every document. */
+  def fusedSig(text: String, k1: Int, numHashes: Int, seed: Long, k2: Int): (Array[Long], Long) = {
+    val th = tokenHashes(text)
+    val mh = minhashSignature(shingleHashesFromTokens(th, k1), numHashes, seed)
+    val sh = simhash(shingleHashesFromTokens(th, k2))
+    (mh, sh)
   }
 
   /** 128-bit anchor keys, interleaved [hi0, lo0, hi1, lo1, ...] sorted

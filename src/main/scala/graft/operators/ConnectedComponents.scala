@@ -102,9 +102,10 @@ object ConnectedComponents {
     // twice (ReuseExchange only dedups the exchanges themselves) —
     // measured ~2× the detector cost at sf0.1. One count here runs the
     // detectors exactly once; the swap-union then reads this cache.
+    // (no distinct here: symWide's own distinct right below dedups the
+    // union anyway — a pre-distinct would only add an exchange)
     val ed = edges
       .select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     ed.count()
     val symWide = ed

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{DedupConfig, Doc, DupPair}
+
+/** MinHash-LSH + SimHash in ONE sweep over the corpus.
+  *
+  * Run standalone, each detector pays (a) its own normalize+tokenize
+  * walk over every byte of every document and (b) its own key exchange
+  * (bands× and 68× fan-outs shuffled separately). Fused:
+  *
+  *  - ONE narrow projection computes both signatures per doc
+  *    ([[graft.plans.FusedSigExpr]] — tokenizes once, bit-identical
+  *    signatures);
+  *  - ONE exchange carries both detectors' candidate keys, tagged so
+  *    buckets never mix (bucket identity = (key, tag); the shared
+  *    [[PairSweep]] keeps per-bucket caps and deterministic hubs);
+  *  - per-detector verification is unchanged (signature Jaccard for
+  *    minhash, `bit_count(a^b) <= r` for simhash) and reads the same
+  *    cached signature table.
+  *
+  * The output is row-identical to
+  * `MinHashLSH.dupPairs ∪ SimHashDetector.dupPairs` (FusedSpec asserts
+  * this) — fusion changes the physical plan, not the semantics. This is
+  * the production path for clustering (Pipeline/Bench); the standalone
+  * detectors remain the unit-testable / individually-oracled surfaces.
+  *
+  * Reference analog: the reference's dedup pass also computes its
+  * chunk fingerprint and its index probe in the same read of the data
+  * (/root/reference/src/dedup.c:80-147) rather than one pass per
+  * structure.
+  */
+object FusedDetectors {
+
+  private val MinHashTag = 0L
+  private val SimHashTag = 1L
+
+  /** (conv_id, sig: array<bigint>, simhash: bigint) — one tokenization
+    * pass per doc, signatures bit-identical to the standalone kernels. */
+  def signatures(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    docs.toDF.select(
+      $"conv_id",
+      call_function("graft_fused_sig", $"doc_text",
+        lit(cfg.shingleK), lit(cfg.numHashes), lit(cfg.seed),
+        lit(cfg.simhashShingleK)).as("s"))
+      .select($"conv_id", $"s.mh".as("sig"), $"s.sh".as("simhash"))
+  }
+
+  /** Both detectors' verified dup pairs from one corpus sweep. */
+  def dupPairs(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig,
+      slack: Double = 0.05): Dataset[DupPair] = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // cache() alone is NOT enough here: the signature table feeds four
+    // plan branches (two key streams + two verification join sides),
+    // and AQE materializes leaf exchanges CONCURRENTLY — before any
+    // cached block lands, every concurrent branch computes the full
+    // signature pipeline independently (measured: the sig stage ran
+    // twice at sf0.1, doubling the query's CPU). One eager count() runs
+    // it exactly once; every branch then reads cache.
+    val sigs = signatures(spark, docs, cfg).cache()
+    sigs.count()
+
+    // tagged key stream: (k1 = bucket key, k2 = detector tag). Tags keep
+    // the two detectors' bucket spaces disjoint inside the one exchange.
+    val mhKeys = sigs.select(
+      explode(call_function("graft_band_hashes", $"sig",
+        lit(cfg.bands), lit(cfg.rowsPerBand))).as("k1"),
+      lit(MinHashTag).as("k2"), $"conv_id")
+    val shKeys = sigs.select(
+      explode(call_function("graft_ball_keys", $"simhash",
+        lit(cfg.simhashBlocks))).as("k1"),
+      lit(SimHashTag).as("k2"), $"conv_id")
+    // materialize the candidate set ONCE: both detector branches read
+    // it, and an uncached sweep pipeline would execute per branch (the
+    // exchange is reused, but the sort + streaming pass above it run
+    // again for every consumer). Candidates are pairs — tiny next to
+    // the key stream — so the cache is cheap at any scale.
+    val cands = PairSweep.pairs(spark, mhKeys.unionAll(shKeys), cfg.bucketCap)
+      .dropDuplicates("doc_a", "doc_b", "k2")
+      .cache()
+    cands.count()
+
+    // verification joins read the one cached signature table; each
+    // detector filters to ITS candidate tag so fused recall/precision
+    // equals the standalone detectors' exactly.
+    val withSigs = cands
+      .join(sigs.withColumnsRenamed(
+        Map("conv_id" -> "doc_a", "sig" -> "sig_a", "simhash" -> "sh_a")), Seq("doc_a"))
+      .join(sigs.withColumnsRenamed(
+        Map("conv_id" -> "doc_b", "sig" -> "sig_b", "simhash" -> "sh_b")), Seq("doc_b"))
+    val mh = withSigs
+      .filter($"k2" === MinHashTag)
+      .withColumn("score", call_function("graft_sig_jaccard", $"sig_a", $"sig_b"))
+      .filter($"score" >= lit(cfg.jaccardThreshold - slack))
+      .select($"doc_a", $"doc_b", lit("minhash").as("detector"), $"score")
+    val sh = withSigs
+      .filter($"k2" === SimHashTag)
+      .withColumn("hd", bit_count($"sh_a".bitwiseXOR($"sh_b")))
+      .filter($"hd" <= lit(cfg.hammingRadius))
+      .select($"doc_a", $"doc_b", lit("simhash").as("detector"),
+        (lit(1.0) - $"hd".cast("double") / lit(64.0)).as("score"))
+    mh.unionAll(sh).as[DupPair]
+  }
+}

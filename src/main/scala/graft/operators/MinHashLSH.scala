@@ -70,65 +70,12 @@ object MinHashLSH {
     * overflow the cap switch to streaming STAR edges around the
     * deterministic hub (the sorted-first member) — linear in bucket
     * size, so a mega-template bucket cannot go quadratic. */
-  def candidatePairs(spark: SparkSession, keys: Dataset[BandKey], cfg: DedupConfig): DataFrame = {
-    import spark.implicits._
-    val cap = cfg.bucketCap
-    // pin the partition count: an un-numbered repartition(col) is fair
-    // game for AQE coalescing, and the PAIR GENERATION downstream of
-    // this exchange is the detector's heaviest stage — coalescing it to
-    // a handful of tasks starves every core past the first few
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    keys.toDF
-      .repartition(parts, col("band_key"))
-      .sortWithinPartitions(col("band_key"), col("conv_id"))
-      .as[BandKey]
-      .mapPartitions { it =>
-        val in = it.buffered
-        new scala.collection.AbstractIterator[(String, String)] {
-          private var pending: Iterator[(String, String)] = Iterator.empty
-          private def allPairs(arr: scala.collection.IndexedSeq[String]): Iterator[(String, String)] =
-            for {
-              i <- arr.indices.iterator
-              j <- (i + 1 until arr.length).iterator
-              if arr(i) != arr(j)
-            } yield (arr(i), arr(j))
-          /** Consume the next bucket and queue its edges. */
-          private def advance(): Unit = {
-            if (!in.hasNext) return
-            val key = in.head.band_key
-            val hub = in.head.conv_id // sorted ⇒ bucket min
-            val buf = new scala.collection.mutable.ArrayBuffer[String](16)
-            var overflow = false
-            while (in.hasNext && in.head.band_key == key && !overflow) {
-              buf += in.next().conv_id
-              if (buf.length > cap) overflow = true
-            }
-            if (!overflow) pending = allPairs(buf)
-            else {
-              // stream star edges for the rest of the bucket without
-              // buffering it; hub ≤ every member (sorted), orientation
-              // is already (hub, member)
-              val bufEdges = buf.iterator.filter(_ != hub).map(c => (hub, c))
-              val restEdges = new scala.collection.AbstractIterator[(String, String)] {
-                def hasNext: Boolean = in.hasNext && in.head.band_key == key
-                def next(): (String, String) = (hub, in.next().conv_id)
-              }.filter(_._2 != hub)
-              pending = bufEdges ++ restEdges
-            }
-          }
-          def hasNext: Boolean = {
-            while (!pending.hasNext && in.hasNext) advance()
-            pending.hasNext
-          }
-          def next(): (String, String) = {
-            if (!hasNext) throw new NoSuchElementException
-            pending.next()
-          }
-        }
-      }
-      .toDF("doc_a", "doc_b")
+  def candidatePairs(spark: SparkSession, keys: Dataset[BandKey], cfg: DedupConfig): DataFrame =
+    PairSweep.pairs(spark,
+      keys.toDF.select(col("band_key").as("k1"), lit(0L).as("k2"), col("conv_id")),
+      cfg.bucketCap)
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-  }
 
   /** Verify candidates against signature-estimated Jaccard (unbiased,
     * σ ≈ sqrt(J(1-J)/numHashes) ≈ 0.04 at 128 hashes). `slack` lowers
@@ -153,9 +100,15 @@ object MinHashLSH {
       .as[DupPair]
   }
 
-  /** Full detector: docs → verified near-dup pairs. */
+  /** Full detector: docs → verified near-dup pairs. The signature
+    * cache is materialized EAGERLY: it feeds the band-key stream and
+    * both verification join sides, and AQE materializes those leaf
+    * exchanges concurrently — with a lazy cache each branch would
+    * recompute the full signature pipeline before any block lands
+    * (see FusedDetectors.dupPairs). */
   def dupPairs(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): Dataset[DupPair] = {
     val sigs = signatures(spark, docs, cfg).cache()
+    sigs.count()
     val cands = candidatePairs(spark, bandKeys(spark, sigs, cfg), cfg)
     verifiedPairs(spark, cands, sigs, cfg)
   }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The one streaming candidate-pair pass every detector shares.
+  *
+  * Input: rows (k1: Long, k2: Long, conv_id: String) — a bucket is a
+  * distinct (k1, k2) pair. k2 doubles as whatever the caller needs it
+  * to be: a detector tag (fused sweep), the low half of a 128-bit
+  * anchor (substring), or a constant (plain LSH bands).
+  *
+  * Shape: ONE pinned exchange (repartition on (k1, k2) at the session
+  * shuffle width — pinned because AQE coalescing would starve the pair
+  * generation, the heaviest stage downstream), in-partition sort by
+  * (k1, k2, conv_id), then a single streaming pass. Because groups
+  * arrive sorted, the FIRST member of a bucket is its global-min
+  * conv_id, so every emitted row is a pure function of the bucket's
+  * full membership — task retries reproduce byte-identical output.
+  *
+  * Memory: buffers at most cap+1 members; buckets that overflow switch
+  * to streaming STAR edges around the deterministic hub (sorted-first
+  * member) — linear in bucket size, so a mega-template bucket cannot go
+  * quadratic (north_rule skew handling).
+  *
+  * Output: (doc_a, doc_b, k2) with doc_a < doc_b... for all-pairs
+  * buckets; star edges are (hub, member) with hub = bucket min, so the
+  * ordering invariant holds there too. NOT deduplicated — callers
+  * dropDuplicates over the columns that define their pair identity.
+  */
+object PairSweep {
+
+  final case class KeyedRow(k1: Long, k2: Long, conv_id: String)
+
+  def pairs(spark: SparkSession, keyed: DataFrame, cap: Int): DataFrame = {
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    keyed
+      .repartition(parts, col("k1"), col("k2"))
+      .sortWithinPartitions(col("k1"), col("k2"), col("conv_id"))
+      .as[KeyedRow]
+      .mapPartitions { it =>
+        val in = it.buffered
+        new scala.collection.AbstractIterator[(String, String, Long)] {
+          private var pending: Iterator[(String, String, Long)] = Iterator.empty
+          private def allPairs(arr: scala.collection.IndexedSeq[String], k2: Long): Iterator[(String, String, Long)] =
+            for {
+              i <- arr.indices.iterator
+              j <- (i + 1 until arr.length).iterator
+              if arr(i) != arr(j)
+            } yield (arr(i), arr(j), k2)
+          /** Consume the next bucket and queue its edges. */
+          private def advance(): Unit = {
+            if (!in.hasNext) return
+            val k1 = in.head.k1
+            val k2 = in.head.k2
+            val hub = in.head.conv_id // sorted ⇒ bucket min
+            val buf = new scala.collection.mutable.ArrayBuffer[String](16)
+            var overflow = false
+            while (in.hasNext && in.head.k1 == k1 && in.head.k2 == k2 && !overflow) {
+              buf += in.next().conv_id
+              if (buf.length > cap) overflow = true
+            }
+            if (!overflow) pending = allPairs(buf, k2)
+            else {
+              // stream star edges for the rest of the bucket without
+              // buffering it; hub ≤ every member (sorted)
+              val bufEdges = buf.iterator.filter(_ != hub).map(c => (hub, c, k2))
+              val restEdges = new scala.collection.AbstractIterator[(String, String, Long)] {
+                def hasNext: Boolean = in.hasNext && in.head.k1 == k1 && in.head.k2 == k2
+                def next(): (String, String, Long) = (hub, in.next().conv_id, k2)
+              }.filter(_._2 != hub)
+              pending = bufEdges ++ restEdges
+            }
+          }
+          def hasNext: Boolean = {
+            while (!pending.hasNext && in.hasNext) advance()
+            pending.hasNext
+          }
+          def next(): (String, String, Long) = {
+            if (!hasNext) throw new NoSuchElementException
+            pending.next()
+          }
+        }
+      }
+      .toDF("doc_a", "doc_b", "k2")
+  }
+}

@@ -43,7 +43,11 @@ object SimHashDetector {
   def dupPairs(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): Dataset[DupPair] = {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
+    // eager: the sig table feeds the key stream and both verification
+    // join sides; a lazy cache is recomputed per concurrent AQE branch
+    // (see FusedDetectors.dupPairs)
     val sigs = signatures(spark, docs, cfg).cache()
+    sigs.count()
     val keys = sigs.toDF.select(
       explode(call_function("graft_ball_keys", $"simhash", lit(cfg.simhashBlocks))).as("band_key"),
       $"conv_id")

@@ -53,62 +53,16 @@ object SubstringDetector {
       .as[AnchorKey]
   }
 
-  /** Candidate pairs from shared 128-bit anchor buckets: the two-long-key
-    * twin of [[MinHashLSH.candidatePairs]] (same shape, same guarantees —
-    * sorted groups make the hub the global bucket min, overflow buckets
-    * stream star edges, retries are byte-deterministic). */
-  def candidatePairs(spark: SparkSession, keys: Dataset[AnchorKey], cfg: DedupConfig): DataFrame = {
-    import spark.implicits._
-    val cap = cfg.bucketCap
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    keys.toDF
-      .repartition(parts, col("k_hi"), col("k_lo"))
-      .sortWithinPartitions(col("k_hi"), col("k_lo"), col("conv_id"))
-      .as[AnchorKey]
-      .mapPartitions { it =>
-        val in = it.buffered
-        new scala.collection.AbstractIterator[(String, String)] {
-          private var pending: Iterator[(String, String)] = Iterator.empty
-          private def allPairs(arr: scala.collection.IndexedSeq[String]): Iterator[(String, String)] =
-            for {
-              i <- arr.indices.iterator
-              j <- (i + 1 until arr.length).iterator
-              if arr(i) != arr(j)
-            } yield (arr(i), arr(j))
-          private def advance(): Unit = {
-            if (!in.hasNext) return
-            val hi = in.head.k_hi
-            val lo = in.head.k_lo
-            val hub = in.head.conv_id // sorted ⇒ bucket min
-            val buf = new scala.collection.mutable.ArrayBuffer[String](16)
-            var overflow = false
-            while (in.hasNext && in.head.k_hi == hi && in.head.k_lo == lo && !overflow) {
-              buf += in.next().conv_id
-              if (buf.length > cap) overflow = true
-            }
-            if (!overflow) pending = allPairs(buf)
-            else {
-              val bufEdges = buf.iterator.filter(_ != hub).map(c => (hub, c))
-              val restEdges = new scala.collection.AbstractIterator[(String, String)] {
-                def hasNext: Boolean = in.hasNext && in.head.k_hi == hi && in.head.k_lo == lo
-                def next(): (String, String) = (hub, in.next().conv_id)
-              }.filter(_._2 != hub)
-              pending = bufEdges ++ restEdges
-            }
-          }
-          def hasNext: Boolean = {
-            while (!pending.hasNext && in.hasNext) advance()
-            pending.hasNext
-          }
-          def next(): (String, String) = {
-            if (!hasNext) throw new NoSuchElementException
-            pending.next()
-          }
-        }
-      }
-      .toDF("doc_a", "doc_b")
+  /** Candidate pairs from shared 128-bit anchor buckets: the shared
+    * [[PairSweep]] with (k1, k2) = the two anchor halves (same
+    * guarantees — sorted groups make the hub the global bucket min,
+    * overflow buckets stream star edges, retries byte-deterministic). */
+  def candidatePairs(spark: SparkSession, keys: Dataset[AnchorKey], cfg: DedupConfig): DataFrame =
+    PairSweep.pairs(spark,
+      keys.toDF.select(col("k_hi").as("k1"), col("k_lo").as("k2"), col("conv_id")),
+      cfg.bucketCap)
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-  }
 
   def dupPairs(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): Dataset[DupPair] = {
     import spark.implicits._

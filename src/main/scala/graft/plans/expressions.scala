@@ -39,6 +39,13 @@ object GraftKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** One-pass dual signature for the fused detector: struct<mh, sh>. */
+  def fusedSig(text: UTF8String, k1: Int, numHashes: Int, seed: Long, k2: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val (mh, sh) = Hashing.fusedSig(text.toString, k1, numHashes, seed, k2)
+    org.apache.spark.sql.catalyst.InternalRow(
+      UnsafeArrayData.fromPrimitiveArray(mh), sh)
+  }
+
   def substrAnchors(text: UTF8String, q: Int, sample: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(Hashing.substringAnchors(text.toString, q, sample))
 
@@ -141,6 +148,29 @@ case class MinHashSigExpr(child: Expression, k: Int, numHashes: Int, seed: Long)
     defineCodeGen(ctx, ev, c =>
       s"graft.plans.GraftKernels.minhashSig($c, $k, $numHashes, ${seed}L)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** text → struct<mh: array<bigint>, sh: bigint> — BOTH near-dup
+  * signatures in one tokenization pass (bit-identical to
+  * [[MinHashSigExpr]] + [[SimHash64Expr]] run separately; see
+  * [[Hashing.fusedSig]]). The fused detector projects this once per
+  * doc instead of walking the text twice. */
+case class FusedSigExpr(child: Expression, k1: Int, numHashes: Int, seed: Long, k2: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires StringType, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("mh", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sh", LongType, nullable = false)))
+  override def prettyName: String = "graft_fused_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.fusedSig(input.asInstanceOf[UTF8String], k1, numHashes, seed, k2)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.GraftKernels.fusedSig($c, $k1, $numHashes, ${seed}L, $k2)")
+  override protected def withNewChildInternal(newChild: Expression): FusedSigExpr =
     copy(child = newChild)
 }
 
@@ -312,6 +342,9 @@ object GraftFunctions {
     "graft_simhash64" -> (cs => SimHash64Expr(cs.head, litInt(cs(1), "k"))),
     "graft_band_hashes" -> (cs =>
       BandHashesExpr(cs.head, litInt(cs(1), "bands"), litInt(cs(2), "rowsPerBand"))),
+    "graft_fused_sig" -> (cs =>
+      FusedSigExpr(cs.head, litInt(cs(1), "k1"), litInt(cs(2), "numHashes"),
+        litLong(cs(3), "seed"), litInt(cs(4), "k2"))),
     "graft_substr_anchors" -> (cs =>
       SubstrAnchorsExpr(cs.head, litInt(cs(1), "q"), litInt(cs(2), "sample"))),
     "graft_substr_anchors128" -> (cs =>

@@ -42,6 +42,36 @@ class DetectorSpec extends SparkSpec {
     assert(recall >= 0.99, s"recall=$recall missing=${missing.take(5)}")
   }
 
+  test("fused sweep is row-identical to minhash ∪ simhash run standalone") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, String, Double)] =
+      df.select($"doc_a", $"doc_b", $"detector", $"score")
+        .as[(String, String, String, Double)].collect().toSet
+    val standalone =
+      rows(MinHashLSH.dupPairs(spark, docs, DedupConfig.default).toDF) ++
+      rows(SimHashDetector.dupPairs(spark, docs, DedupConfig.default).toDF)
+    val fused = rows(FusedDetectors.dupPairs(spark, docs, DedupConfig.default).toDF)
+    assert(fused == standalone,
+      s"fused-only=${fused.diff(standalone).take(3)} standalone-only=${standalone.diff(fused).take(3)}")
+    assert(fused.nonEmpty, "equivalence test is vacuous: no pairs found")
+  }
+
+  test("fused signatures are bit-identical to the standalone kernels") {
+    import spark.implicits._
+    val f = FusedDetectors.signatures(spark, docs, DedupConfig.default)
+      .select($"conv_id", $"sig", $"simhash")
+      .as[(String, Array[Long], Long)].collect().map(t => t._1 -> ((t._2.toSeq, t._3))).toMap
+    val mh = MinHashLSH.signatures(spark, docs, DedupConfig.default)
+      .collect().map(s => s.conv_id -> s.sig.toSeq).toMap
+    val sh = SimHashDetector.signatures(spark, docs, DedupConfig.default)
+      .collect().map(s => s.conv_id -> s.simhash).toMap
+    assert(f.size == mh.size)
+    f.foreach { case (cid, (sig, sim)) =>
+      assert(sig == mh(cid), s"minhash sig differs for $cid")
+      assert(sim == sh(cid), s"simhash differs for $cid")
+    }
+  }
+
   test("substring detector links docs sharing the planted boilerplate block") {
     import spark.implicits._
     val got = normPairs(SubstringDetector.dupPairs(spark, docs, DedupConfig.default).toDF)
