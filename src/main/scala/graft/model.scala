@@ -119,12 +119,16 @@ final case class DedupConfig(
     ccCheckpointEvery: Int = 1,
     /** hash-min+jump iterations batched into ONE materializing job per
       * CC round (intermediates end at lazy plan boundaries, so Catalyst
-      * cost stays linear — see ConnectedComponents.runLoop). The loop's
-      * measured input-independent fixed cost is per-JOB driver sync, so
-      * batching divides it ~3×; the price is up to batchIters-1 no-op
-      * iterations of (tiny) label-table shuffle after the true
-      * fixpoint. */
-    ccBatchIters: Int = 3,
+      * cost stays linear — see ConnectedComponents.runLoop). Batching
+      * trades driver job-syncs against post-fixpoint overshoot (up to
+      * batchIters-1 wasted iterations, detectable only at round ends)
+      * and per-iteration stage dispatch. Measured on both deployment
+      * shapes: in-process local[N] (no per-stage RPC; job-sync is the
+      * fixed cost) runs fastest at 3, while multi-executor clusters
+      * (per-stage dispatch on every extra iteration) run fastest at 1
+      * — so 0 = AUTO picks by master: 3 for local[...], 1 otherwise.
+      * Any positive value pins it. */
+    ccBatchIters: Int = 0,
     seed: Long = 42L) {
   require(numHashes == bands * rowsPerBand, "numHashes must equal bands*rowsPerBand")
   require(simhashBits == 64, "SimHash is fixed at 64 bits")

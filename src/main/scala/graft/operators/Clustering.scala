@@ -21,7 +21,10 @@ object Clustering {
       pairs: Dataset[DupPair],
       cfg: DedupConfig = DedupConfig.default): Dataset[ClusterAssign] = {
     import spark.implicits._
-    val edges = pairs.select($"doc_a", $"doc_b").distinct()
+    // no distinct: ConnectedComponents' symmetrize step dedups the edge
+    // set in its own exchange — a distinct here would be a second
+    // back-to-back shuffle of the same rows
+    val edges = pairs.select($"doc_a", $"doc_b")
     val comps = ConnectedComponents.run(spark, edges, cfg.ccMaxIters, cfg.ccCheckpointEvery, cfg.ccBatchIters)
 
     // every doc: component label if clustered, else itself (singleton)

@@ -27,7 +27,8 @@ import org.apache.spark.storage.StorageLevel
   * after convergence by a per-component min(conv_id) regroup, so the
   * output is bit-identical to the un-encoded algorithm.
   *
-  * Driver round-trips: ONE job per ROUND of `batchIters` iterations —
+  * Driver round-trips: ONE job per ROUND of `batchIters` iterations
+  * (0 = auto by deployment shape; see [[graft.DedupConfig.ccBatchIters]]) —
   * intermediate iterations end at lazy plan boundaries
   * ([[org.apache.spark.sql.GraftPlanBridge.planBoundary]]) so the whole
   * batch executes as a single job, and the convergence metric (sum of
@@ -82,8 +83,16 @@ object ConnectedComponents {
     *         Valid until the next run() on the SAME SparkSession (blocks
     *         are then freed); persist/write it first if you need it
     *         longer, or run from another session to hold two results. */
-  def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 25, checkpointEvery: Int = 1, batchIters: Int = 3): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIters: Int = 25, checkpointEvery: Int = 1, batchIters: Int = 0): DataFrame = {
     import spark.implicits._
+    // batchIters = 0 → AUTO by deployment shape (DedupConfig.ccBatchIters
+    // scaladoc has the measurements): in-process local masters have no
+    // per-stage RPC, so fewer job-syncs win (3); everywhere else each
+    // post-fixpoint overshoot iteration costs real stage dispatch (1).
+    val batch =
+      if (batchIters > 0) batchIters
+      else if (spark.sparkContext.master.startsWith("local[")) 3
+      else 1
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     var tPhase = System.nanoTime()
     def lap(phase: String): Unit = if (debug) {
@@ -173,7 +182,7 @@ object ConnectedComponents {
     if (!sys.props.get("graft.cc.codegen").contains("true"))
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
     val coded =
-      try runLoop(spark, symCoded, dict, nLabels, maxIters, checkpointEvery, batchIters)
+      try runLoop(spark, symCoded, dict, nLabels, maxIters, checkpointEvery, batch)
       finally {
         lap("loop")
         spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)

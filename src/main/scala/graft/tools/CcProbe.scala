@@ -23,10 +23,11 @@ object CcProbe {
     }.toDF("doc_a", "doc_b").cache()
     edges.count()
     val ckEvery = sys.env.getOrElse("GRAFT_CC_CKEVERY", "1").toInt
+    val batch = sys.env.getOrElse("GRAFT_CC_BATCH", "3").toInt
     for (mode <- Seq("warm", "on", "off")) {
       val t0 = System.nanoTime()
       System.setProperty("graft.cc.codegen", (mode != "off").toString)
-      val out = ConnectedComponents.run(spark, edges, checkpointEvery = ckEvery)
+      val out = ConnectedComponents.run(spark, edges, checkpointEvery = ckEvery, batchIters = batch)
       val c = out.select("cluster_id").distinct().count()
       System.err.println(f"[ccprobe] mode=$mode clusters=$c wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
