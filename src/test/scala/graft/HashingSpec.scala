@@ -60,6 +60,25 @@ class HashingSpec extends AnyFunSuite {
     }
   }
 
+  test("OPH minhash: sparse docs (fewer shingles than bins) still estimate J") {
+    // 256 bins but only ~12 shingles per doc: most bins densified.
+    // Identical sets must match everywhere; high-overlap sets must
+    // estimate high; disjoint sets near zero.
+    val a = shingleHashes("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi", 3)
+    val b = shingleHashes("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu XI", 3)
+    val c = shingleHashes("one two three four five six seven eight nine ten eleven twelve thirteen fourteen", 3)
+    assert(signatureJaccard(minhashSignature(a, 256, 42), minhashSignature(a, 256, 42)) == 1.0)
+    val estAB = signatureJaccard(minhashSignature(a, 256, 42), minhashSignature(b, 256, 42))
+    val exactAB = exactJaccard(a, b)
+    assert(math.abs(estAB - exactAB) < 0.25, s"sparse est=$estAB exact=$exactAB")
+    val estAC = signatureJaccard(minhashSignature(a, 256, 42), minhashSignature(c, 256, 42))
+    assert(estAC < 0.1, s"disjoint est=$estAC")
+    // no MaxValue sentinel survives densification of a nonempty doc
+    assert(!minhashSignature(a, 256, 42).contains(Long.MaxValue))
+    // empty input keeps the all-sentinel contract
+    assert(minhashSignature(Array.empty[Long], 256, 42).forall(_ == Long.MaxValue))
+  }
+
   test("simhash: identical → distance 0, small edit → small distance") {
     val base = (1 to 60).map(i => s"word$i").mkString(" ")
     val edited = base.replace("word30", "wordX")
