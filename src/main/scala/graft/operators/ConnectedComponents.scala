@@ -164,6 +164,17 @@ object ConnectedComponents {
     lap("sym+dict")
     symCoded.count()
     symWide.unpersist(false)
+    // PLAN boundaries over the two cached frames every later step reads:
+    // their logical trees embed the whole upstream detector pipeline
+    // (dict contains symWide contains the edge input — measured as a
+    // multi-megabyte plan string), and Catalyst re-optimizes a frame's
+    // FULL tree at every materialization that references it — i.e. every
+    // loop iteration. The boundary swaps in an opaque scan of the
+    // already-cached data (partitioning preserved, cache respected by
+    // the physical planning underneath), so per-iteration driver
+    // analysis is over a three-node tree instead of the corpus pipeline.
+    val dictB = org.apache.spark.sql.GraftPlanBridge.planBoundary(dict)
+    val symCodedB = org.apache.spark.sql.GraftPlanBridge.planBoundary(symCoded)
     lap("encode")
 
     // ---- phase 2 (loop settings) ----
@@ -182,7 +193,7 @@ object ConnectedComponents {
     if (!sys.props.get("graft.cc.codegen").contains("true"))
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
     val coded =
-      try runLoop(spark, symCoded, dict, nLabels, maxIters, checkpointEvery, batch)
+      try runLoop(spark, symCodedB, dictB, nLabels, maxIters, checkpointEvery, batch)
       finally {
         lap("loop")
         spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
@@ -193,7 +204,7 @@ object ConnectedComponents {
     // ---- phase 3 (session settings): decode + restore the
     // "cluster_id = lexicographic min member" contract ----
     val named = coded
-      .join(dict, Seq("id"))
+      .join(dictB, Seq("id"))
       .select($"conv_id", $"comp")
     val repNames = named
       .groupBy($"comp")
