@@ -170,6 +170,15 @@ object Bench {
       // and this simply yields more, still-well-sized tasks.
       .config("spark.sql.files.maxPartitionBytes", "8388608")
       .config("spark.sql.adaptive.enabled", "true")
+      // sort-based shuffle writer ALWAYS: the default bypass-merge
+      // writer (numPartitions <= 200) opens one file PER REDUCER PER
+      // MAP TASK — at 128 partitions x hundreds of map tasks that is
+      // tens of thousands of create/merge/delete syscalls per stage,
+      // measured (thread-sampled) as the dominant "CPU" of the fused
+      // detector sweep on this VM's slow mmap/file path. The sort
+      // writer emits ONE file per map task at any width — also the only
+      // writer that survives wide shuffles on a real cluster.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
       // reliable-checkpoint files (CC loop truncation) are reclaimed by
       // the ContextCleaner once their RDD is GC'd
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")

@@ -12,6 +12,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.maxPlanStringLength", "1048576")
+      // one shuffle file per map task at any width (see Bench.buildSession)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -61,8 +61,15 @@ object FusedDetectors {
     // signature pipeline independently (measured: the sig stage ran
     // twice at sf0.1, doubling the query's CPU). One eager count() runs
     // it exactly once; every branch then reads cache.
-    val sigs = signatures(spark, docs, cfg).cache()
-    sigs.count()
+    val sigs0 = signatures(spark, docs, cfg).cache()
+    sigs0.count()
+    // plan boundary over the materialized cache: the four consumer
+    // branches below embed `sigs`' logical tree, and AQE's concurrent
+    // leaf materialization can plan a branch against the not-yet-
+    // registered cache entry and re-execute the signature kernel. The
+    // boundary pins every consumer to the ONE compiled cache-scan RDD —
+    // recomputation becomes structurally impossible, not just unlikely.
+    val sigs = org.apache.spark.sql.GraftPlanBridge.planBoundary(sigs0.toDF)
 
     // tagged key stream: (k1 = bucket key, k2 = detector tag). Tags keep
     // the two detectors' bucket spaces disjoint inside the one exchange.

@@ -19,6 +19,7 @@ object QueryProbe {
     val spark = Bench.buildSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val stages = mutable.Map.empty[Int, (String, Long, Long, Int)]
+    val details = mutable.Map.empty[Int, String]
     spark.sparkContext.addSparkListener(new SparkListener {
       val t0 = mutable.Map.empty[Int, Long]
       override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
@@ -26,8 +27,12 @@ object QueryProbe {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val si = s.stageInfo
         val wall = System.currentTimeMillis() - t0.getOrElse(si.stageId, 0L)
-        stages(si.stageId) = (si.name.takeWhile(_ != '\n').take(70),
-          si.taskMetrics.executorRunTime, wall, si.numTasks)
+        val tm = si.taskMetrics
+        stages(si.stageId) = (
+          f"in=${tm.inputMetrics.recordsRead}%d shRead=${tm.shuffleReadMetrics.recordsRead}%d shWrite=${tm.shuffleWriteMetrics.recordsWritten}%d  ${si.name.takeWhile(_ != '\n').take(40)}",
+          tm.executorRunTime, wall, si.numTasks)
+        details(si.stageId) = si.rddInfos.map(r =>
+          s"${r.id}:${r.name}@${r.callSite.takeWhile(_ != '\n').take(60)}").mkString(" | ")
       }
     })
     val fn = Bench.headline(spark, sfDir).toMap.apply(qname)
@@ -42,6 +47,11 @@ object QueryProbe {
     System.err.println(f"[qprobe] $qname rows=$rows wall=$secs%.2fs  sum(stage wall)=${rs.map(_._2._3).sum / 1000.0}%.1fs sum(task)=${rs.map(_._2._2).sum / 1000.0}%.1fs")
     rs.foreach { case (id, (name, taskMs, wallMs, n)) =>
       System.err.println(f"[qprobe] stage=$id%4d wall=${wallMs / 1000.0}%6.2fs task=${taskMs / 1000.0}%7.2fs ntasks=$n%4d par=${taskMs.toDouble / math.max(wallMs, 1)}%5.1f  $name")
+    }
+    // RDD lineage of the costliest stages (identifies which operator a
+    // generic AQE-materialization stage actually executes)
+    rs.sortBy(-_._2._2).take(6).foreach { case (id, _) =>
+      System.err.println(s"[qprobe] detail stage=$id ${details.getOrElse(id, "?")}")
     }
     spark.stop()
   }

@@ -14,6 +14,8 @@ object TestSpark {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.maxPlanStringLength", "1048576")
+      // one shuffle file per map task at any width (see Bench.buildSession)
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
