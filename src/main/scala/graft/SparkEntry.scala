@@ -156,6 +156,14 @@ object SparkEntry {
       SubstringDetector.dupPairs(s, docs, DedupConfig.default).toDF
         .select("doc_a", "doc_b", "detector")
     }),
+    "q_suffixarray_pairs" -> ((s, dir) => {
+      // exact pass: STRONGER emptiness than q_substring_pairs — the
+      // winnowed detector could miss a short shared run its sampling
+      // skipped; the suffix-array pass provably cannot
+      val docs = DocAssembly.assemble(s, transcriptsView(s, dir))
+      SuffixArrayDetector.dupPairs(s, docs, DedupConfig.default).toDF
+        .select("doc_a", "doc_b", "detector")
+    }),
     // ---- planted-dup detector checks (full DuckDB oracle: expected
     // output is exactly the planted pair set; see plantedTranscriptsView)
     "q_minhash_planted" -> ((s, dir) => {
@@ -171,6 +179,11 @@ object SparkEntry {
     "q_substring_planted" -> ((s, dir) => {
       val docs = DocAssembly.assemble(s, plantedTranscriptsView(s, dir))
       SubstringDetector.dupPairs(s, docs, DedupConfig.default).toDF
+        .select("doc_a", "doc_b")
+    }),
+    "q_suffixarray_planted" -> ((s, dir) => {
+      val docs = DocAssembly.assemble(s, plantedTranscriptsView(s, dir))
+      SuffixArrayDetector.dupPairs(s, docs, DedupConfig.default).toDF
         .select("doc_a", "doc_b")
     }),
     "q_cluster_planted_stats" -> ((s, dir) => {
@@ -457,11 +470,13 @@ object SparkEntry {
     "q_minhash_planted" -> plantedSelSql,
     "q_simhash_planted" -> plantedSelSql,
     "q_substring_planted" -> plantedSelSql,
+    "q_suffixarray_planted" -> plantedSelSql,
     // raw-corpus detector runs must emit NOTHING (no-false-positive
     // guard: the sf corpora contain no near-duplicate conversations)
     "q_minhash_pairs" -> emptyPairsSql,
     "q_simhash_pairs" -> emptyPairsSql,
     "q_substring_pairs" -> emptyPairsSql,
+    "q_suffixarray_pairs" -> emptyPairsSql,
     // raw corpus is dup-free ⇒ all-singletons is the exact expected
     // clustering (recall direction covered by q_cluster_planted_members)
     "q_clusters" ->

@@ -30,7 +30,8 @@ final case class Doc(
     ts_min: Timestamp)
 
 /** A candidate or confirmed duplicate pair between two documents.
-  * `detector` ∈ {exact, minhash, simhash, substring, embedding}.
+  * `detector` ∈ {exact, minhash, simhash, substring, suffix_array,
+  * embedding}.
   * Reference analog: a fingerprint-index hit
   * (/root/reference/src/dedup.c:129-147). */
 final case class DupPair(
