@@ -186,6 +186,17 @@ object SparkEntry {
       SuffixArrayDetector.dupPairs(s, docs, DedupConfig.default).toDF
         .select("doc_a", "doc_b")
     }),
+    "q_detector_audit" -> ((s, dir) => {
+      // sampled (winnowed) vs exact (suffix-array) on the planted
+      // corpus: both find exactly the planted pair set (their planted
+      // queries prove it), so the audit row is closed-form — n_truth =
+      // n_detected = n_hit = |planted|, recall = 1.0
+      val docs = DocAssembly.assemble(s, plantedTranscriptsView(s, dir))
+      val cfg = DedupConfig.default
+      DetectorAudit.pairRecall(s,
+        SubstringDetector.dupPairs(s, docs, cfg).toDF,
+        SuffixArrayDetector.dupPairs(s, docs, cfg).toDF)
+    }),
     "q_cluster_planted_stats" -> ((s, dir) => {
       import s.implicits._
       val docs = DocAssembly.assemble(s, plantedTranscriptsView(s, dir))
@@ -471,6 +482,15 @@ object SparkEntry {
     "q_simhash_planted" -> plantedSelSql,
     "q_substring_planted" -> plantedSelSql,
     "q_suffixarray_planted" -> plantedSelSql,
+    "q_detector_audit" ->
+      s"""WITH t AS ($transcriptsViewSql),
+         |sel AS (SELECT DISTINCT conv_id FROM t
+         |        WHERE CAST(substring(conv_id, 2) AS BIGINT) % 10 = 3)
+         |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(count(*) AS BIGINT) AS n_detected,
+         |  CAST(count(*) AS BIGINT) AS n_hit,
+         |  CAST(10000 AS BIGINT) AS recall_x10000
+         |FROM sel""".stripMargin,
     // raw-corpus detector runs must emit NOTHING (no-false-positive
     // guard: the sf corpora contain no near-duplicate conversations)
     "q_minhash_pairs" -> emptyPairsSql,
