@@ -214,6 +214,30 @@ object SparkEntry {
     // representative = first occurrence by (ts_min, conv_id) = the
     // original, whose copy is ts-shifted +1h), everyone else is a
     // singleton.
+    "q_incremental_cluster" -> ((s, dir) => {
+      // corpus-growth path: previous run = full pipeline over the RAW
+      // corpus; increment = the planted copies, ingested from signature
+      // tables only (no old text). The warm-started clustering must
+      // equal the full planted clustering — same oracle as
+      // q_cluster_planted_members.
+      import s.implicits._
+      val cfg = DedupConfig.default
+      val oldDocs = DocAssembly.assemble(s, transcriptsView(s, dir))
+      val newDocs = DocAssembly.assemble(s, plantedTranscriptsView(s, dir))
+        .filter($"conv_id".endsWith("d"))
+      val prevPairs = ExactDedup.docDupPairs(s, oldDocs.toDF).as[DupPair]
+        .unionByName(FusedDetectors.dupPairs(s, oldDocs, cfg))
+      val prev = Clustering.assign(s, oldDocs, prevPairs, cfg).toDF
+        .select($"conv_id", $"cluster_id").cache()
+      prev.count() // materialize before updateLabels' CC run retires blocks
+      val stored = IncrementalNearDup.signatureTable(s, oldDocs, cfg)
+      val freshT = IncrementalNearDup.signatureTable(s, newDocs, cfg)
+      val tsMin = stored.select($"conv_id", $"ts_min")
+        .unionByName(freshT.select($"conv_id", $"ts_min"))
+      val incPairs = IncrementalNearDup.newTouchingPairs(s, stored, freshT, cfg)
+      IncrementalNearDup.updateLabels(s, prev, incPairs, tsMin, cfg).toDF
+        .select($"conv_id", $"cluster_id", $"representative", $"is_representative")
+    }),
     "q_cluster_planted_members" -> ((s, dir) => {
       import s.implicits._
       val docs = DocAssembly.assemble(s, plantedTranscriptsView(s, dir))
@@ -505,6 +529,19 @@ object SparkEntry {
          |SELECT conv_id, conv_id AS cluster_id, conv_id AS representative,
          |       true AS is_representative
          |FROM ids""".stripMargin,
+    // incremental warm-start must land on the identical clustering
+    "q_incremental_cluster" ->
+      s"""WITH t AS ($transcriptsViewSql),
+         |ids AS (SELECT DISTINCT conv_id FROM t),
+         |sel AS (SELECT conv_id FROM ids
+         |        WHERE CAST(substring(conv_id, 2) AS BIGINT) % 10 = 3)
+         |SELECT conv_id, conv_id AS cluster_id, conv_id AS representative,
+         |       true AS is_representative
+         |FROM ids
+         |UNION ALL
+         |SELECT conv_id || 'd' AS conv_id, conv_id AS cluster_id,
+         |       conv_id AS representative, false AS is_representative
+         |FROM sel""".stripMargin,
     "q_cluster_planted_members" ->
       s"""WITH t AS ($transcriptsViewSql),
          |ids AS (SELECT DISTINCT conv_id FROM t),

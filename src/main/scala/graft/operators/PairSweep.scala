@@ -85,4 +85,85 @@ object PairSweep {
       }
       .toDF("doc_a", "doc_b", "k2")
   }
+
+  final case class KeyedRowN(k1: Long, k2: Long, conv_id: String, is_new: Boolean)
+
+  /** Incremental variant for corpus growth: rows carry an `is_new` flag
+    * (true = member of the just-ingested batch) and the sweep emits
+    * only the edges a previous full run over the OLD members cannot
+    * already have established:
+    *
+    *  - a bucket within `cap`: all pairs with ≥ 1 new member (the
+    *    old-old all-pairs of this bucket were emitted verbatim by the
+    *    previous run — buckets only grow, so a bucket under the cap
+    *    now was under it before);
+    *  - an overflow bucket: star edges around the deterministic hub
+    *    for ALL members, old and new. Re-emitting the old star edges
+    *    is linear and makes incremental connectivity equal the full
+    *    fresh run's even when growth moved the hub or newly pushed the
+    *    bucket over the cap (the one corner where new-touching-only
+    *    edges can under-merge: old members connected in a fresh run
+    *    only THROUGH the hub).
+    *
+    * Component-level contract (IncrementalSpec): clustering from
+    * (previous labels as star edges) ∪ (this output) equals a full
+    * recompute over the grown corpus, except buckets that crossed the
+    * cap between runs, where incremental additionally KEEPS previously
+    * verified old-old links a capped fresh run would not regenerate —
+    * strictly higher recall at equal precision.
+    *
+    * Same exchange/ordering/cap/hub guarantees as [[pairs]]. */
+  def pairsIncremental(spark: SparkSession, keyed: DataFrame, cap: Int): DataFrame = {
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    keyed
+      .repartition(parts, col("k1"), col("k2"))
+      .sortWithinPartitions(col("k1"), col("k2"), col("conv_id"))
+      .as[KeyedRowN]
+      .mapPartitions { it =>
+        val in = it.buffered
+        new scala.collection.AbstractIterator[(String, String, Long)] {
+          private var pending: Iterator[(String, String, Long)] = Iterator.empty
+          private def newTouchingPairs(
+              arr: scala.collection.IndexedSeq[(String, Boolean)], k2: Long): Iterator[(String, String, Long)] =
+            for {
+              i <- arr.indices.iterator
+              j <- (i + 1 until arr.length).iterator
+              if arr(i)._1 != arr(j)._1 && (arr(i)._2 || arr(j)._2)
+            } yield (arr(i)._1, arr(j)._1, k2)
+          private def advance(): Unit = {
+            if (!in.hasNext) return
+            val k1 = in.head.k1
+            val k2 = in.head.k2
+            val hub = in.head.conv_id // sorted ⇒ bucket min, same hub as pairs()
+            val buf = new scala.collection.mutable.ArrayBuffer[(String, Boolean)](16)
+            var overflow = false
+            while (in.hasNext && in.head.k1 == k1 && in.head.k2 == k2 && !overflow) {
+              val r = in.next()
+              buf += ((r.conv_id, r.is_new))
+              if (buf.length > cap) overflow = true
+            }
+            if (!overflow) pending = newTouchingPairs(buf, k2)
+            else {
+              // overflow: full star (old members included — see scaladoc)
+              val bufEdges = buf.iterator.filter(_._1 != hub).map(c => (hub, c._1, k2))
+              val restEdges = new scala.collection.AbstractIterator[(String, String, Long)] {
+                def hasNext: Boolean = in.hasNext && in.head.k1 == k1 && in.head.k2 == k2
+                def next(): (String, String, Long) = (hub, in.next().conv_id, k2)
+              }.filter(_._2 != hub)
+              pending = bufEdges ++ restEdges
+            }
+          }
+          def hasNext: Boolean = {
+            while (!pending.hasNext && in.hasNext) advance()
+            pending.hasNext
+          }
+          def next(): (String, String, Long) = {
+            if (!hasNext) throw new NoSuchElementException
+            pending.next()
+          }
+        }
+      }
+      .toDF("doc_a", "doc_b", "k2")
+  }
 }
