@@ -26,9 +26,19 @@ object Clustering {
     // back-to-back shuffle of the same rows
     val edges = pairs.select($"doc_a", $"doc_b")
     val comps = ConnectedComponents.run(spark, edges, cfg.ccMaxIters, cfg.ccCheckpointEvery, cfg.ccBatchIters)
+    labelAndRepresent(spark, docs.toDF.select($"conv_id", $"ts_min"), comps)
+  }
 
+  /** Shared assignment tail: singleton fill-in + the first-occurrence
+    * representative rule, over any (conv_id, ts_min) universe and CC
+    * label table. ONE implementation — the warm-started incremental
+    * path ([[IncrementalNearDup.updateLabels]]) and the batch path
+    * must agree on the T6 representative contract by construction. */
+  private[operators] def labelAndRepresent(
+      spark: SparkSession, tsMin: DataFrame, comps: DataFrame): Dataset[ClusterAssign] = {
+    import spark.implicits._
     // every doc: component label if clustered, else itself (singleton)
-    val assigned = docs
+    val assigned = tsMin
       .select($"conv_id", $"ts_min")
       .join(comps, Seq("conv_id"), "left")
       .withColumn("cluster_id", coalesce($"cluster_id", $"conv_id"))

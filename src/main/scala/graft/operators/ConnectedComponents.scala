@@ -55,28 +55,9 @@ object ConnectedComponents {
   // the returned frame is localCheckpoint'd (its lineage — detectors +
   // loop — is gone, so the blocks ARE the data and can't be dropped
   // while a caller may still read it). Callers don't manage it, so each
-  // run() retires the PREVIOUS invocation's output FOR ITS OWN SESSION:
-  // at most one live label table per session instead of one per
-  // invocation. Keyed per-session (weak — a dropped session must not pin
-  // its last output) so one session's run cannot invalidate another
-  // session's live result, and a run never frees into a SparkContext it
-  // doesn't own.
-  private val lastOut =
-    new java.util.WeakHashMap[SparkSession, DataFrame]()
-
-  /** Free a frame's blocks NOW. `Dataset.unpersist` only drops cache-
-    * manager entries; a (local)checkpoint'd frame's blocks belong to
-    * the underlying RDD behind its LogicalRDD scan, which the cache
-    * manager doesn't know — without this, those blocks linger until the
-    * ContextCleaner notices the RDD is unreachable (GC-async). The whole
-    * body is exception-guarded: a frame from a stopped session must not
-    * throw out of free() and abort the CURRENT run. */
-  private def free(df: DataFrame): Unit = {
-    try df.unpersist(false) catch { case _: Throwable => () }
-    try df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(false)) catch { case _: Throwable => () }
-  }
+  // run() retires the PREVIOUS invocation's output FOR ITS OWN SESSION
+  // via the shared [[Retire]] slot: at most one live label table per
+  // session instead of one per invocation.
 
   /** edges: DataFrame with string columns (doc_a, doc_b).
     * @return (conv_id, cluster_id) where cluster_id = min member id.
@@ -216,10 +197,7 @@ object ConnectedComponents {
     coded.unpersist(false)
     symCoded.unpersist(false)
     dict.unpersist(false)
-    lastOut.synchronized {
-      Option(lastOut.get(spark)).foreach(free)
-      lastOut.put(spark, out)
-    }
+    Retire.swap(spark, "cc_labels", out)
     lap("decode")
     out
   }
@@ -349,9 +327,9 @@ object ConnectedComponents {
         else p
       val curSum = obs.get.getOrElse("label_sum", null)
       // previous rounds' blocks are dead once `next` is material
-      // (free() also reaches localCheckpoint RDDs the cache manager
-      // doesn't track)
-      retired.foreach(free)
+      // (Retire.free also reaches localCheckpoint RDDs the cache
+      // manager doesn't track)
+      retired.foreach(Retire.free)
       retired = List(next)
       labels = next
       // sums compare round-end to round-end: labels only decrease, so

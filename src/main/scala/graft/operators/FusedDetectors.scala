@@ -36,6 +36,53 @@ object FusedDetectors {
   private val MinHashTag = 0L
   private val SimHashTag = 1L
 
+  /** Verification slack shared by the batch and incremental paths —
+    * single-sourced so the two can never silently diverge. */
+  val DefaultSlack = 0.05
+
+  /** Tagged candidate key stream from a [[signatures]]-shaped frame
+    * (sig, simhash + the `carry` columns — conv_id always; is_new for
+    * the incremental path). Tags keep the two detectors' bucket spaces
+    * disjoint inside one exchange. */
+  private[operators] def taggedKeys(sigs: DataFrame, cfg: DedupConfig,
+      carry: Seq[String]): DataFrame = {
+    val cc = carry.map(col).toList
+    val mh = sigs.select(
+      explode(call_function("graft_band_hashes", col("sig"),
+        lit(cfg.bands), lit(cfg.rowsPerBand))).as("k1") ::
+        lit(MinHashTag).as("k2") :: cc: _*)
+    val sh = sigs.select(
+      explode(call_function("graft_ball_keys", col("simhash"),
+        lit(cfg.simhashBlocks))).as("k1") ::
+        lit(SimHashTag).as("k2") :: cc: _*)
+    mh.unionAll(sh)
+  }
+
+  /** Per-detector verification of a tagged candidate set against the
+    * signature frame: signature Jaccard for minhash, Hamming radius
+    * for simhash — THE verification both the batch and incremental
+    * paths run, by construction the same. */
+  private[operators] def verifyPairs(cands: DataFrame, sigs: DataFrame,
+      cfg: DedupConfig, slack: Double): DataFrame = {
+    val withSigs = cands
+      .join(sigs.select(col("conv_id").as("doc_a"),
+        col("sig").as("sig_a"), col("simhash").as("sh_a")), Seq("doc_a"))
+      .join(sigs.select(col("conv_id").as("doc_b"),
+        col("sig").as("sig_b"), col("simhash").as("sh_b")), Seq("doc_b"))
+    val mh = withSigs
+      .filter(col("k2") === MinHashTag)
+      .withColumn("score", call_function("graft_sig_jaccard", col("sig_a"), col("sig_b")))
+      .filter(col("score") >= lit(cfg.jaccardThreshold - slack))
+      .select(col("doc_a"), col("doc_b"), lit("minhash").as("detector"), col("score"))
+    val sh = withSigs
+      .filter(col("k2") === SimHashTag)
+      .withColumn("hd", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hd") <= lit(cfg.hammingRadius))
+      .select(col("doc_a"), col("doc_b"), lit("simhash").as("detector"),
+        (lit(1.0) - col("hd").cast("double") / lit(64.0)).as("score"))
+    mh.unionAll(sh)
+  }
+
   /** (conv_id, sig: array<bigint>, simhash: bigint) — one tokenization
     * pass per doc, signatures bit-identical to the standalone kernels. */
   def signatures(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): DataFrame = {
@@ -51,7 +98,7 @@ object FusedDetectors {
 
   /** Both detectors' verified dup pairs from one corpus sweep. */
   def dupPairs(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig,
-      slack: Double = 0.05): Dataset[DupPair] = {
+      slack: Double = DefaultSlack): Dataset[DupPair] = {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     // cache() alone is NOT enough here: the signature table feeds four
@@ -71,22 +118,13 @@ object FusedDetectors {
     // recomputation becomes structurally impossible, not just unlikely.
     val sigs = org.apache.spark.sql.GraftPlanBridge.planBoundary(sigs0.toDF)
 
-    // tagged key stream: (k1 = bucket key, k2 = detector tag). Tags keep
-    // the two detectors' bucket spaces disjoint inside the one exchange.
-    val mhKeys = sigs.select(
-      explode(call_function("graft_band_hashes", $"sig",
-        lit(cfg.bands), lit(cfg.rowsPerBand))).as("k1"),
-      lit(MinHashTag).as("k2"), $"conv_id")
-    val shKeys = sigs.select(
-      explode(call_function("graft_ball_keys", $"simhash",
-        lit(cfg.simhashBlocks))).as("k1"),
-      lit(SimHashTag).as("k2"), $"conv_id")
+    // tagged key stream: (k1 = bucket key, k2 = detector tag).
     // materialize the candidate set ONCE: both detector branches read
     // it, and an uncached sweep pipeline would execute per branch (the
     // exchange is reused, but the sort + streaming pass above it run
     // again for every consumer). Candidates are pairs — tiny next to
     // the key stream — so the cache is cheap at any scale.
-    val cands = PairSweep.pairs(spark, mhKeys.unionAll(shKeys), cfg.bucketCap)
+    val cands = PairSweep.pairs(spark, taggedKeys(sigs, cfg, Seq("conv_id")), cfg.bucketCap)
       .dropDuplicates("doc_a", "doc_b", "k2")
       .cache()
     cands.count()
@@ -94,22 +132,6 @@ object FusedDetectors {
     // verification joins read the one cached signature table; each
     // detector filters to ITS candidate tag so fused recall/precision
     // equals the standalone detectors' exactly.
-    val withSigs = cands
-      .join(sigs.withColumnsRenamed(
-        Map("conv_id" -> "doc_a", "sig" -> "sig_a", "simhash" -> "sh_a")), Seq("doc_a"))
-      .join(sigs.withColumnsRenamed(
-        Map("conv_id" -> "doc_b", "sig" -> "sig_b", "simhash" -> "sh_b")), Seq("doc_b"))
-    val mh = withSigs
-      .filter($"k2" === MinHashTag)
-      .withColumn("score", call_function("graft_sig_jaccard", $"sig_a", $"sig_b"))
-      .filter($"score" >= lit(cfg.jaccardThreshold - slack))
-      .select($"doc_a", $"doc_b", lit("minhash").as("detector"), $"score")
-    val sh = withSigs
-      .filter($"k2" === SimHashTag)
-      .withColumn("hd", bit_count($"sh_a".bitwiseXOR($"sh_b")))
-      .filter($"hd" <= lit(cfg.hammingRadius))
-      .select($"doc_a", $"doc_b", lit("simhash").as("detector"),
-        (lit(1.0) - $"hd".cast("double") / lit(64.0)).as("score"))
-    mh.unionAll(sh).as[DupPair]
+    verifyPairs(cands, sigs, cfg, slack).as[DupPair]
   }
 }

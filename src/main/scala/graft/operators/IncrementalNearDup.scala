@@ -49,9 +49,6 @@ import graft.{ClusterAssign, DedupConfig, Doc, DupPair}
   */
 object IncrementalNearDup {
 
-  private val MinHashTag = 0L
-  private val SimHashTag = 1L
-
   /** (conv_id, ts_min, fp_h1, fp_h2, sig, simhash) — everything future
     * increments need from this batch, in one sweep over its text. */
   def signatureTable(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): DataFrame = {
@@ -75,7 +72,7 @@ object IncrementalNearDup {
     * `stored` and `fresh` are [[signatureTable]] frames (old corpus /
     * new batch); conv_id sets must be disjoint. */
   def newTouchingPairs(spark: SparkSession, stored: DataFrame, fresh: DataFrame,
-      cfg: DedupConfig, slack: Double = 0.05): Dataset[DupPair] = {
+      cfg: DedupConfig, slack: Double = FusedDetectors.DefaultSlack): Dataset[DupPair] = {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     val all0 = stored.withColumn("is_new", lit(false))
@@ -92,35 +89,24 @@ object IncrementalNearDup {
       .dropDuplicates("doc_a", "doc_b")
       .select($"doc_a", $"doc_b", lit("exact").as("detector"), lit(1.0).as("score"))
 
-    // minhash + simhash: same tagged one-exchange sweep as
-    // FusedDetectors, incremental emission, identical verification
-    val mhKeys = all.select(
-      explode(call_function("graft_band_hashes", $"sig",
-        lit(cfg.bands), lit(cfg.rowsPerBand))).as("k1"),
-      lit(MinHashTag).as("k2"), $"conv_id", $"is_new")
-    val shKeys = all.select(
-      explode(call_function("graft_ball_keys", $"simhash",
-        lit(cfg.simhashBlocks))).as("k1"),
-      lit(SimHashTag).as("k2"), $"conv_id", $"is_new")
-    val cands = PairSweep.pairsIncremental(spark, mhKeys.unionAll(shKeys), cfg.bucketCap)
+    // minhash + simhash: THE batch path's key generation and
+    // verification (FusedDetectors.taggedKeys / verifyPairs — shared
+    // code, not a synchronized copy), incremental emission in between
+    val cands = PairSweep.pairsIncremental(spark,
+      FusedDetectors.taggedKeys(all, cfg, Seq("conv_id", "is_new")), cfg.bucketCap)
       .dropDuplicates("doc_a", "doc_b", "k2")
       .cache()
     cands.count()
-    val withSigs = cands
-      .join(all.select($"conv_id".as("doc_a"), $"sig".as("sig_a"), $"simhash".as("sh_a")), Seq("doc_a"))
-      .join(all.select($"conv_id".as("doc_b"), $"sig".as("sig_b"), $"simhash".as("sh_b")), Seq("doc_b"))
-    val mh = withSigs
-      .filter($"k2" === MinHashTag)
-      .withColumn("score", call_function("graft_sig_jaccard", $"sig_a", $"sig_b"))
-      .filter($"score" >= lit(cfg.jaccardThreshold - slack))
-      .select($"doc_a", $"doc_b", lit("minhash").as("detector"), $"score")
-    val sh = withSigs
-      .filter($"k2" === SimHashTag)
-      .withColumn("hd", bit_count($"sh_a".bitwiseXOR($"sh_b")))
-      .filter($"hd" <= lit(cfg.hammingRadius))
-      .select($"doc_a", $"doc_b", lit("simhash").as("detector"),
-        (lit(1.0) - $"hd".cast("double") / lit(64.0)).as("score"))
-    exact.unionAll(mh).unionAll(sh).as[DupPair]
+    val out = exact.unionAll(FusedDetectors.verifyPairs(cands, all, cfg, slack))
+      .as[DupPair]
+      .localCheckpoint(true)
+    // an ingest loop calls this once per batch on a long-lived session:
+    // unpersist the per-batch intermediates now (the output is
+    // materialized) and retire the previous batch's output blocks
+    cands.unpersist(false)
+    all0.unpersist(false)
+    Retire.swap(spark, "incremental_pairs", out.toDF)
+    out
   }
 
   /** Cluster assignment for the grown corpus, warm-started from the
@@ -141,21 +127,8 @@ object IncrementalNearDup {
     val edges = newPairs.select($"doc_a", $"doc_b").unionAll(starEdges)
     val comps = ConnectedComponents.run(spark, edges,
       cfg.ccMaxIters, cfg.ccCheckpointEvery, cfg.ccBatchIters)
-    val assigned = tsMin
-      .select($"conv_id", $"ts_min")
-      .join(comps, Seq("conv_id"), "left")
-      .withColumn("cluster_id", coalesce($"cluster_id", $"conv_id"))
-    val reps = assigned
-      .groupBy($"cluster_id")
-      .agg(min(struct($"ts_min", $"conv_id")).as("first_occ"))
-      .select($"cluster_id", $"first_occ.conv_id".as("representative"))
-    assigned
-      .join(reps, Seq("cluster_id"))
-      .select(
-        $"conv_id",
-        $"cluster_id",
-        $"representative",
-        ($"conv_id" === $"representative").as("is_representative"))
-      .as[ClusterAssign]
+    // the batch path's assignment tail (shared code): singleton
+    // fill-in + T6 first-occurrence representative
+    Clustering.labelAndRepresent(spark, tsMin, comps)
   }
 }

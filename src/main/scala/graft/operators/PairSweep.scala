@@ -30,61 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object PairSweep {
 
-  final case class KeyedRow(k1: Long, k2: Long, conv_id: String)
-
-  def pairs(spark: SparkSession, keyed: DataFrame, cap: Int): DataFrame = {
-    import spark.implicits._
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    keyed
-      .repartition(parts, col("k1"), col("k2"))
-      .sortWithinPartitions(col("k1"), col("k2"), col("conv_id"))
-      .as[KeyedRow]
-      .mapPartitions { it =>
-        val in = it.buffered
-        new scala.collection.AbstractIterator[(String, String, Long)] {
-          private var pending: Iterator[(String, String, Long)] = Iterator.empty
-          private def allPairs(arr: scala.collection.IndexedSeq[String], k2: Long): Iterator[(String, String, Long)] =
-            for {
-              i <- arr.indices.iterator
-              j <- (i + 1 until arr.length).iterator
-              if arr(i) != arr(j)
-            } yield (arr(i), arr(j), k2)
-          /** Consume the next bucket and queue its edges. */
-          private def advance(): Unit = {
-            if (!in.hasNext) return
-            val k1 = in.head.k1
-            val k2 = in.head.k2
-            val hub = in.head.conv_id // sorted ⇒ bucket min
-            val buf = new scala.collection.mutable.ArrayBuffer[String](16)
-            var overflow = false
-            while (in.hasNext && in.head.k1 == k1 && in.head.k2 == k2 && !overflow) {
-              buf += in.next().conv_id
-              if (buf.length > cap) overflow = true
-            }
-            if (!overflow) pending = allPairs(buf, k2)
-            else {
-              // stream star edges for the rest of the bucket without
-              // buffering it; hub ≤ every member (sorted)
-              val bufEdges = buf.iterator.filter(_ != hub).map(c => (hub, c, k2))
-              val restEdges = new scala.collection.AbstractIterator[(String, String, Long)] {
-                def hasNext: Boolean = in.hasNext && in.head.k1 == k1 && in.head.k2 == k2
-                def next(): (String, String, Long) = (hub, in.next().conv_id, k2)
-              }.filter(_._2 != hub)
-              pending = bufEdges ++ restEdges
-            }
-          }
-          def hasNext: Boolean = {
-            while (!pending.hasNext && in.hasNext) advance()
-            pending.hasNext
-          }
-          def next(): (String, String, Long) = {
-            if (!hasNext) throw new NoSuchElementException
-            pending.next()
-          }
-        }
-      }
-      .toDF("doc_a", "doc_b", "k2")
-  }
+  /** The batch sweep: exactly [[pairsIncremental]] with every member
+    * flagged new — all pairs in under-cap buckets, hub stars on
+    * overflow. ONE implementation of the streaming bucket scan keeps
+    * the two paths' cap/hub/ordering guarantees identical by
+    * construction (FusedSpec asserts the batch path's row identity). */
+  def pairs(spark: SparkSession, keyed: DataFrame, cap: Int): DataFrame =
+    pairsIncremental(spark, keyed.withColumn("is_new", lit(true)), cap)
 
   final case class KeyedRowN(k1: Long, k2: Long, conv_id: String, is_new: Boolean)
 

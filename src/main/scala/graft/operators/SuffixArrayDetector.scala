@@ -47,14 +47,22 @@ import graft.functions.Hashing
   * assignment join-back), chained through lazy plan boundaries
   * ([[org.apache.spark.sql.GraftPlanBridge.planBoundary]]) so Catalyst
   * analyzes one round's tree at a time and the WHOLE doubling ladder
-  * executes as a single job. Membership keys then flow through the
-  * shared [[PairSweep]] (capped buckets, deterministic hub stars — a
-  * boilerplate L-gram shared by millions of docs streams linear star
-  * edges, not n²). Token rows are (long, int, long) triples — ~20 B —
+  * executes as a single job. Pair emission is an UNCAPPED spill-safe
+  * sort-merge self-join over distinct (gram class, doc) rows: a gram
+  * shared by B docs inherently yields C(B,2) pairs — exactness means
+  * paying that output volume, never a star fallback (which would
+  * silently drop non-hub pairs and corrupt audits that use this pass
+  * as ground truth). Token rows are (long, int, long) triples — ~20 B —
   * so a 10^9-token scope shuffles ~20 GB per round; exhaustiveness
-  * costs ~s× the sampled detector's key volume, which is why THIS pass
-  * is for bounded scopes (per-shard audits, recall measurement,
-  * verification corpora) and the winnowed pass is for the full corpus.
+  * costs ~s× the sampled detector's key volume plus the quadratic
+  * output on mega-shared grams, which is why THIS pass is for bounded
+  * scopes (per-shard audits, recall measurement, verification corpora)
+  * and the winnowed pass is for the full corpus.
+  *
+  * The returned frame is materialized (localCheckpoint) and valid
+  * until the next `dupPairs` on the SAME SparkSession (previous output
+  * blocks are then retired — same contract as CC labels); persist or
+  * write it first if held longer.
   */
 object SuffixArrayDetector {
 
@@ -144,17 +152,37 @@ object SuffixArrayDetector {
         withLen
           .join(cls.select($"did", ($"pos" - (L - w1)).as("pos"), $"cls".as("k2")), Seq("did", "pos"))
           .select($"did", $"cls".as("k1"), $"k2")
-    val named = keyed.join(dict, Seq("did")).select($"k1", $"k2", $"conv_id")
 
-    val out = PairSweep.pairs(spark, named, cfg.bucketCap)
-      .select($"doc_a", $"doc_b")
-      .dropDuplicates("doc_a", "doc_b")
-      .select($"doc_a", $"doc_b",
+    // exhaustive pair emission: DISTINCT docs per L-gram class (a doc
+    // repeating a gram contributes once), then an UNCAPPED equi-self-
+    // join with did_a < did_b. No star fallback here — the exact
+    // contract IS every pair, so a gram shared by B docs inherently
+    // yields C(B,2) rows; the sort-merge join spills, so a mega-shared
+    // gram costs output volume, never memory. (The capped/star-edge
+    // treatment of such grams is the SAMPLED detector's scale
+    // trade-off; applying it here would silently drop non-hub pairs
+    // and corrupt any audit that uses this pass as ground truth.)
+    val k = keyed.dropDuplicates("k1", "k2", "did")
+    val pairsDid = k.as("a")
+      .join(k.as("b"),
+        col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2") &&
+          col("a.did") < col("b.did"))
+      .select(col("a.did").as("did_a"), col("b.did").as("did_b"))
+      .dropDuplicates("did_a", "did_b")
+    val out = pairsDid
+      .join(dict.select($"did".as("did_a"), $"conv_id".as("ca")), Seq("did_a"))
+      .join(dict.select($"did".as("did_b"), $"conv_id".as("cb")), Seq("did_b"))
+      .select(
+        least($"ca", $"cb").as("doc_a"),
+        greatest($"ca", $"cb").as("doc_b"),
         lit("suffix_array").as("detector"), lit(1.0).as("score"))
       .as[DupPair]
       .localCheckpoint(true)
     suffixes.unpersist(false)
     docIds.unpersist(false)
+    // checkpointed blocks are untracked by the cache manager — retire
+    // the previous invocation's output (same contract as CC labels)
+    Retire.swap(spark, "suffix_array_pairs", out.toDF)
     out
   }
 }
