@@ -227,8 +227,7 @@ object SparkEntry {
         .filter($"conv_id".endsWith("d"))
       val prevPairs = ExactDedup.docDupPairs(s, oldDocs.toDF).as[DupPair]
         .unionByName(FusedDetectors.dupPairs(s, oldDocs, cfg))
-      val prev = Clustering.assign(s, oldDocs, prevPairs, cfg).toDF
-        .select($"conv_id", $"cluster_id").cache()
+      val prev = Clustering.assign(s, oldDocs, prevPairs, cfg).toDF.cache()
       prev.count() // materialize before updateLabels' CC run retires blocks
       val stored = IncrementalNearDup.signatureTable(s, oldDocs, cfg)
       val freshT = IncrementalNearDup.signatureTable(s, newDocs, cfg)

@@ -28,10 +28,12 @@ import graft.{ClusterAssign, DedupConfig, Doc, DupPair}
   *    Verification (signature Jaccard, Hamming radius) is identical to
   *    the batch path, so precision is unchanged.
   *  - [[updateLabels]]: connected components warm-started from the
-  *    previous assignment — prior clusters enter as their spanning
-  *    STAR edges (member → cluster_id), which reproduce exactly the
-  *    prior components in one hop, unioned with the new edges. No old
-  *    pair is recomputed or re-verified.
+  *    previous assignment — prior clusters TOUCHED by a new edge enter
+  *    as their spanning STAR edges (member → cluster_id), which
+  *    reproduce exactly the prior components in one hop, unioned with
+  *    the new edges; every untouched assignment row passes through
+  *    verbatim. No old pair is recomputed or re-verified, and the CC
+  *    loop runs over the touched subgraph, not the corpus.
   *
   * Cost per increment: one text sweep over the NEW batch only, one key
   * exchange over new + stored signature keys, CC over (star edges +
@@ -110,25 +112,51 @@ object IncrementalNearDup {
   }
 
   /** Cluster assignment for the grown corpus, warm-started from the
-    * previous one. `prevLabels` is the prior run's (conv_id,
-    * cluster_id) projection; `tsMin` is the (conv_id, ts_min)
-    * projection of ALL docs old + new — available from the signature
-    * tables, so no corpus scan. Prior clusters enter CC as their
-    * spanning stars (exactly reproducing prior components), new edges
-    * attach the batch; the first-occurrence representative rule is
-    * re-derived over the merged components (a new doc with an earlier
-    * ts_min can take over as representative, same as a fresh run). */
-  def updateLabels(spark: SparkSession, prevLabels: DataFrame, newPairs: Dataset[DupPair],
+    * previous one — and PROPORTIONAL TO THE INCREMENT: only components
+    * the new edges touch are re-solved.
+    *
+    * `prevAssign` is the prior run's full assignment (conv_id,
+    * cluster_id, representative, is_representative); `tsMin` the
+    * (conv_id, ts_min) projection of ALL docs old + new — both
+    * available from stored tables, so no corpus scan. A prior cluster
+    * is TOUCHED when any new edge lands on one of its members; its
+    * members re-enter CC as the cluster's spanning star (exactly
+    * reproducing the prior component) together with the new edges,
+    * and the shared assignment tail re-derives labels +
+    * first-occurrence representatives for that subgraph (a new doc
+    * with an earlier ts_min can take over as representative, same as
+    * a fresh run). Every UNTOUCHED row passes through verbatim —
+    * membership and representative of a component no new edge reaches
+    * cannot change, so the CC loop and the representative regroup run
+    * over the touched subgraph + the new batch, not the corpus. */
+  def updateLabels(spark: SparkSession, prevAssign: DataFrame, newPairs: Dataset[DupPair],
       tsMin: DataFrame, cfg: DedupConfig = DedupConfig.default): Dataset[ClusterAssign] = {
     import spark.implicits._
-    val starEdges = prevLabels
+    val touchedDocs = newPairs.select($"doc_a".as("conv_id"))
+      .unionAll(newPairs.select($"doc_b".as("conv_id")))
+      .distinct()
+    val touchedClusters = prevAssign
+      .join(touchedDocs, Seq("conv_id"), "left_semi")
+      .select($"cluster_id").distinct()
+    val untouched = prevAssign.join(touchedClusters, Seq("cluster_id"), "left_anti")
+    val touched = prevAssign.join(touchedClusters, Seq("cluster_id"), "left_semi")
+
+    val starEdges = touched
       .filter($"conv_id" =!= $"cluster_id")
       .select($"conv_id".as("doc_a"), $"cluster_id".as("doc_b"))
     val edges = newPairs.select($"doc_a", $"doc_b").unionAll(starEdges)
     val comps = ConnectedComponents.run(spark, edges,
       cfg.ccMaxIters, cfg.ccCheckpointEvery, cfg.ccBatchIters)
-    // the batch path's assignment tail (shared code): singleton
-    // fill-in + T6 first-occurrence representative
-    Clustering.labelAndRepresent(spark, tsMin, comps)
+
+    // relabel universe = everything not passed through verbatim:
+    // members of touched clusters + the whole new batch (tsMin rows
+    // absent from prevAssign), including new singletons CC never saw
+    val relabelUniverse = tsMin
+      .join(untouched.select($"conv_id"), Seq("conv_id"), "left_anti")
+    val relabeled = Clustering.labelAndRepresent(spark, relabelUniverse, comps)
+    untouched
+      .select($"conv_id", $"cluster_id", $"representative", $"is_representative")
+      .as[ClusterAssign]
+      .unionByName(relabeled)
   }
 }

@@ -84,7 +84,7 @@ class IncrementalNearDupSpec extends SparkSpec {
     val tsMin = stored.select($"conv_id", $"ts_min")
       .unionByName(freshT.select($"conv_id", $"ts_min"))
     val incremental = IncrementalNearDup
-      .updateLabels(spark, prev.select($"conv_id", $"cluster_id"), incPairs, tsMin, cfg)
+      .updateLabels(spark, prev, incPairs, tsMin, cfg)
     val incRows = incremental.collect().toSet
 
     // fresh full recompute over the grown corpus
@@ -111,7 +111,7 @@ class IncrementalNearDupSpec extends SparkSpec {
     val tsMin = stored.select($"conv_id", $"ts_min")
       .unionByName(freshT.select($"conv_id", $"ts_min"))
     val incremental = IncrementalNearDup
-      .updateLabels(spark, prev.select($"conv_id", $"cluster_id"), incPairs, tsMin, cfg)
+      .updateLabels(spark, prev, incPairs, tsMin, cfg)
     assert(partitions(incremental) == Set((0 until n).map(i => f"m$i%04d").toSet))
     prev.unpersist()
   }
