@@ -96,6 +96,40 @@ class IncrementalNearDupSpec extends SparkSpec {
     Seq(docs, oldDocs, newDocs, prev, stored, freshT).foreach(_.unpersist())
   }
 
+  test("three chained increments equal one full recompute (induction case)") {
+    import spark.implicits._
+    val docs = DocAssembly.assemble(spark, corpus.CorpusGen.transcripts(spark, 300L).toDF).cache()
+    docs.count()
+    // 4 deterministic waves: batch k = convs with hash%4 == k
+    val wave = (c: org.apache.spark.sql.Column) => pmod(hash(c), lit(4))
+    def docsOf(ws: Seq[Int]) = docs.filter(wave($"conv_id").isin(ws.map(Integer.valueOf): _*))
+
+    var assign = Clustering.assign(spark, docsOf(Seq(0)), fullPairs(docsOf(Seq(0))), cfg)
+      .toDF.cache()
+    assign.count()
+    var storedSigs = IncrementalNearDup.signatureTable(spark, docsOf(Seq(0)), cfg).cache()
+    storedSigs.count()
+    for (k <- 1 to 3) {
+      val fresh = IncrementalNearDup.signatureTable(spark, docsOf(Seq(k)), cfg).cache()
+      fresh.count()
+      val pairs = IncrementalNearDup.newTouchingPairs(spark, storedSigs, fresh, cfg)
+      val tsMin = storedSigs.select($"conv_id", $"ts_min")
+        .unionByName(fresh.select($"conv_id", $"ts_min"))
+      val next = IncrementalNearDup.updateLabels(spark, assign, pairs, tsMin, cfg)
+        .toDF.cache()
+      next.count() // materialize before the next wave's CC retires blocks
+      assign.unpersist()
+      val grown = storedSigs.unionByName(fresh).cache()
+      grown.count()
+      storedSigs.unpersist(); fresh.unpersist()
+      assign = next
+      storedSigs = grown
+    }
+    val full = Clustering.assign(spark, docs, fullPairs(docs), cfg)
+    assert(assign.as[ClusterAssign].collect().toSet == full.collect().toSet)
+    Seq(docs, assign, storedSigs).foreach(_.unpersist())
+  }
+
   test("mega-bucket growth: overflow star edges keep the cluster whole incrementally") {
     import spark.implicits._
     val n = cfg.bucketCap * 2
