@@ -72,7 +72,13 @@ object IncrementalNearDup {
     * did not: exact (identical doc fp), minhash, simhash — each
     * restricted to what [[PairSweep.pairsIncremental]] must emit.
     * `stored` and `fresh` are [[signatureTable]] frames (old corpus /
-    * new batch); conv_id sets must be disjoint. */
+    * new batch); conv_id sets must be disjoint.
+    *
+    * The returned frame is materialized (localCheckpoint) and valid
+    * until the next `newTouchingPairs` on the SAME SparkSession
+    * (previous output blocks are then retired — same contract as CC
+    * labels and the suffix-array pass); persist or write it first if
+    * two batches' pair sets must be held simultaneously. */
   def newTouchingPairs(spark: SparkSession, stored: DataFrame, fresh: DataFrame,
       cfg: DedupConfig, slack: Double = FusedDetectors.DefaultSlack): Dataset[DupPair] = {
     import spark.implicits._
@@ -128,16 +134,29 @@ object IncrementalNearDup {
     * a fresh run). Every UNTOUCHED row passes through verbatim —
     * membership and representative of a component no new edge reaches
     * cannot change, so the CC loop and the representative regroup run
-    * over the touched subgraph + the new batch, not the corpus. */
+    * over the touched subgraph + the new batch, not the corpus.
+    *
+    * The returned frame embeds this run's CC labels and touched-set
+    * checkpoints: like every CC consumer, materialize (write/collect/
+    * persist) before the next CC-backed call on the same session. */
   def updateLabels(spark: SparkSession, prevAssign: DataFrame, newPairs: Dataset[DupPair],
       tsMin: DataFrame, cfg: DedupConfig = DedupConfig.default): Dataset[ClusterAssign] = {
     import spark.implicits._
     val touchedDocs = newPairs.select($"doc_a".as("conv_id"))
       .unionAll(newPairs.select($"doc_b".as("conv_id")))
       .distinct()
+    // eagerly materialize: this tiny frame is embedded in THREE plan
+    // branches (star edges, relabel universe, pass-through anti-join) —
+    // lazy, each branch would rescan prevAssign and re-run the distinct
+    // shuffle; materialized, the two prevAssign joins also get an
+    // accurate (small) size estimate and broadcast. localCheckpoint +
+    // retire slot (not cache) so successive increments on one session
+    // free the previous batch's copy.
     val touchedClusters = prevAssign
       .join(touchedDocs, Seq("conv_id"), "left_semi")
       .select($"cluster_id").distinct()
+      .localCheckpoint(true)
+    Retire.swap(spark, "incremental_touched", touchedClusters)
     val untouched = prevAssign.join(touchedClusters, Seq("cluster_id"), "left_anti")
     val touched = prevAssign.join(touchedClusters, Seq("cluster_id"), "left_semi")
 

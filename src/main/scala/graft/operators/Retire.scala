@@ -10,14 +10,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * until the GC-async ContextCleaner notices the RDD is unreachable.
   * Each `swap(spark, slot, out)` frees the PREVIOUS output registered
   * under the same (session, slot): at most one live frame per slot per
-  * session, one session's swap can never invalidate another session's
-  * live result, and a dropped session does not pin its last output
-  * (weak keys).
+  * session, and one session's swap can never invalidate another
+  * session's live result.
+  *
+  * The map stores only the checkpoint RDDs extracted at registration —
+  * NOT the DataFrame. A Dataset strongly references its SparkSession;
+  * holding it as a WeakHashMap VALUE would pin its own weak KEY
+  * forever (the documented WeakHashMap caveat), so a dropped session
+  * could never be collected. RDDs reference only the SparkContext, so
+  * weak-key collection actually works and a dropped session does not
+  * pin its last outputs.
   */
 private[operators] object Retire {
 
   private val lastOut =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, Seq[org.apache.spark.rdd.RDD[_]]]]()
 
   /** Free a frame's blocks NOW. `Dataset.unpersist` only drops cache-
     * manager entries; a (local)checkpoint'd frame's blocks belong to
@@ -26,20 +33,30 @@ private[operators] object Retire {
     * abort the CURRENT run. */
   def free(df: DataFrame): Unit = {
     try df.unpersist(false) catch { case _: Throwable => () }
-    try df.queryExecution.analyzed.collectFirst {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-    }.foreach(_.unpersist(false)) catch { case _: Throwable => () }
+    freeRdds(blockRdds(df))
   }
 
-  /** Register `out` under (spark, slot), freeing the previous holder. */
-  def swap(spark: SparkSession, slot: String, out: DataFrame): Unit =
+  private def blockRdds(df: DataFrame): Seq[org.apache.spark.rdd.RDD[_]] =
+    try df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    } catch { case _: Throwable => Nil }
+
+  private def freeRdds(rdds: Seq[org.apache.spark.rdd.RDD[_]]): Unit =
+    rdds.foreach { r => try r.unpersist(false) catch { case _: Throwable => () } }
+
+  /** Register `out`'s blocks under (spark, slot), freeing the previous
+    * holder's. `out` must be a materialized (checkpointed) frame — its
+    * LogicalRDD scan IS the data the slot tracks. */
+  def swap(spark: SparkSession, slot: String, out: DataFrame): Unit = {
+    val rdds = blockRdds(out)
     lastOut.synchronized {
       val slots = Option(lastOut.get(spark)).getOrElse {
-        val m = scala.collection.mutable.Map.empty[String, DataFrame]
+        val m = scala.collection.mutable.Map.empty[String, Seq[org.apache.spark.rdd.RDD[_]]]
         lastOut.put(spark, m)
         m
       }
-      slots.get(slot).foreach(free)
-      slots(slot) = out
+      slots.get(slot).foreach(freeRdds)
+      slots(slot) = rdds
     }
+  }
 }
