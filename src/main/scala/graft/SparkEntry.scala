@@ -73,6 +73,72 @@ object SparkEntry {
        |        WHERE CAST(substring(conv_id, 2) AS BIGINT) % 10 = 3)
        |SELECT conv_id AS doc_a, conv_id || 'd' AS doc_b FROM sel""".stripMargin
 
+  /** Embeddings with planted EXACT twins: a copy (vec_id + 10^7) of
+    * every vec_id ≡ 3 (mod 100). Shared by every ANN / semantic-dedup
+    * query; lockstep with the closed-form oracles (the raw corpus is
+    * near-orthogonal — top-1 cos ≈ 0.35 — so only planted pairs reach
+    * cos ≥ 0.95). */
+  private def plantedEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = readT(s, dir, "embeddings").select($"vec_id", $"embedding")
+    e.unionByName(e.filter($"vec_id" % 100 === 3)
+      .select(($"vec_id" + 10000000L).as("vec_id"), $"embedding"))
+  }
+
+  /** ANN contract checker shared by every ANN family (RHP-LSH, IVF),
+    * fully DuckDB-oracled (q_restore_equality pattern: Spark computes
+    * the violation counts, DuckDB pins their exact expected values).
+    * The ANN result is a deterministic function of the seeded model —
+    * reproducible in Spark but not SQL-expressible — so the oracle pins
+    * the INVARIANTS that hold for any correct run over the
+    * [[plantedEmbeddings]] corpus:
+    *   - every emitted pair's cos_x10000 equals an independently
+    *     re-joined exact-cosine recompute (cosineCol itself is
+    *     DuckDB-anchored by q_embed_top1's full hash match against
+    *     list_cosine_similarity) → cos_mismatches = 0
+    *   - per query, ranks are exactly 1..m with non-increasing cosine
+    *     → rank_violations = 0; no self pairs, no duplicate pairs
+    *   - recall floor: every planted identical copy is found at rank 1,
+    *     cos ≥ 0.999, in BOTH directions → planted_found_rank1 =
+    *     n_planted = 2·|sel|
+    * Non-vacuity is structural: n_planted > 0, and an empty ANN result
+    * would fail the recall row. */
+  private def annInvariants(
+      s: SparkSession, corpus: DataFrame,
+      ann: DataFrame => DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val topk = ann(corpus)
+    val embD = corpus.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val w = Window.partitionBy($"query_id").orderBy($"rank")
+    val checked = topk
+      .join(embD.withColumnsRenamed(Map("vec_id" -> "query_id", "embedding" -> "q_emb")),
+        Seq("query_id"))
+      .join(embD.withColumnsRenamed(Map("vec_id" -> "neighbor_id")), Seq("neighbor_id"))
+      .withColumn("cos2_x10000",
+        floor(EmbeddingSim.cosineCol($"q_emb", $"embedding") * 10000).cast("bigint"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prev_cos", lag($"cos_x10000", 1).over(w))
+      .withColumn("is_planted",
+        ($"query_id" % 100 === 3 && $"neighbor_id" === $"query_id" + 10000000L) ||
+        ($"query_id" >= 10000000L && $"neighbor_id" === $"query_id" - 10000000L))
+    val agg = checked.agg(
+      coalesce(sum(when($"is_planted" && $"rank" === 1 && $"cos_x10000" >= 9990, 1L)
+        .otherwise(0L)), lit(0L)).as("planted_found_rank1"),
+      coalesce(sum(when($"cos2_x10000" =!= $"cos_x10000", 1L).otherwise(0L)), lit(0L))
+        .as("cos_mismatches"),
+      coalesce(sum(when($"rn" =!= $"rank" || $"rank" > k ||
+        ($"prev_cos".isNotNull && $"prev_cos" < $"cos_x10000"), 1L).otherwise(0L)), lit(0L))
+        .as("rank_violations"),
+      coalesce(sum(when($"query_id" === $"neighbor_id", 1L).otherwise(0L)), lit(0L))
+        .as("self_pairs"),
+      (count(lit(1)) - countDistinct($"query_id", $"neighbor_id")).as("dup_pairs"))
+    val nPlanted = corpus.filter($"vec_id" >= 10000000L)
+      .agg((count(lit(1)) * 2).as("n_planted"))
+    agg.crossJoin(nPlanted)
+      .select($"n_planted", $"planted_found_rank1", $"cos_mismatches",
+        $"rank_violations", $"self_pairs", $"dup_pairs")
+  }
+
   /** Empty (doc_a, doc_b, detector) result — the expected output of
     * every detector over the raw (dup-free) sf corpora. */
   private val emptyPairsSql: String =
@@ -263,6 +329,11 @@ object SparkEntry {
       readT(s, dir, "documents")
         .select($"doc_id", TextAnalysis.tokenCount($"text").cast("bigint").as("n_tokens"))
     }),
+    "q_subword_tokens" -> ((s, dir) => {
+      import s.implicits._
+      readT(s, dir, "documents")
+        .select($"doc_id", TextAnalysis.subwordTokenCount($"text").as("n_subtokens"))
+    }),
     "q_quality" -> ((s, dir) => {
       import s.implicits._
       TextAnalysis.qualityScore(readT(s, dir, "documents"))
@@ -275,6 +346,10 @@ object SparkEntry {
         .groupBy(TextAnalysis.langId($"text").as("pred_lang"))
         .agg(count(lit(1)).as("n"))
     }),
+    // Gopher-style repetition signals + keep decision, full row-level
+    // oracle (DuckDB recomputes every ratio from the token lists).
+    "q_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionFilter(readT(s, dir, "documents"))),
     // fingerprint invariant oracle: doc_fp = hash(normalized text), so
     // the fp is injective on the corpus exactly when distinct-fp count
     // equals distinct-normalized-text count (also pins the
@@ -332,42 +407,16 @@ object SparkEntry {
     //     BOTH directions → planted_found_rank1 = n_planted = 2·|sel|
     // Non-vacuity is structural: n_planted > 0, and an empty ANN result
     // would fail the recall row.
-    "q_embed_ann" -> ((s, dir) => {
-      import s.implicits._
-      val e = readT(s, dir, "embeddings").select($"vec_id", $"embedding")
-      val copies = e.filter($"vec_id" % 100 === 3)
-        .select(($"vec_id" + 10000000L).as("vec_id"), $"embedding")
-      val corpus = e.unionByName(copies)
-      val ann = EmbeddingSim.rhpBucketTopK(s, corpus, k = 5)
-      val embD = corpus.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
-      val w = Window.partitionBy($"query_id").orderBy($"rank")
-      val checked = ann
-        .join(embD.withColumnsRenamed(Map("vec_id" -> "query_id", "embedding" -> "q_emb")),
-          Seq("query_id"))
-        .join(embD.withColumnsRenamed(Map("vec_id" -> "neighbor_id")), Seq("neighbor_id"))
-        .withColumn("cos2_x10000",
-          floor(EmbeddingSim.cosineCol($"q_emb", $"embedding") * 10000).cast("bigint"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("prev_cos", lag($"cos_x10000", 1).over(w))
-        .withColumn("is_planted",
-          ($"query_id" % 100 === 3 && $"neighbor_id" === $"query_id" + 10000000L) ||
-          ($"query_id" >= 10000000L && $"neighbor_id" === $"query_id" - 10000000L))
-      val agg = checked.agg(
-        coalesce(sum(when($"is_planted" && $"rank" === 1 && $"cos_x10000" >= 9990, 1L)
-          .otherwise(0L)), lit(0L)).as("planted_found_rank1"),
-        coalesce(sum(when($"cos2_x10000" =!= $"cos_x10000", 1L).otherwise(0L)), lit(0L))
-          .as("cos_mismatches"),
-        coalesce(sum(when($"rn" =!= $"rank" || $"rank" > 5 ||
-          ($"prev_cos".isNotNull && $"prev_cos" < $"cos_x10000"), 1L).otherwise(0L)), lit(0L))
-          .as("rank_violations"),
-        coalesce(sum(when($"query_id" === $"neighbor_id", 1L).otherwise(0L)), lit(0L))
-          .as("self_pairs"),
-        (count(lit(1)) - countDistinct($"query_id", $"neighbor_id")).as("dup_pairs"))
-      val nPlanted = copies.agg((count(lit(1)) * 2).as("n_planted"))
-      agg.crossJoin(nPlanted)
-        .select($"n_planted", $"planted_found_rank1", $"cos_mismatches",
-          $"rank_violations", $"self_pairs", $"dup_pairs")
-    }),
+    "q_embed_ann" -> ((s, dir) =>
+      annInvariants(s, plantedEmbeddings(s, dir),
+        c => EmbeddingSim.rhpBucketTopK(s, c, k = 5), k = 5)),
+    // IVF ANN under the same invariant oracle — the data-adaptive
+    // (k-means cells) counterpart of the data-oblivious RHP path.
+    // Planted twins share a cell under ANY quantizer (identical
+    // vectors, deterministic argmin), so the same recall floor binds.
+    "q_ivf_ann" -> ((s, dir) =>
+      annInvariants(s, plantedEmbeddings(s, dir),
+        c => IvfIndex.ivfTopK(s, c, k = 5), k = 5)),
     // ANN recall oracle: plant an EXACT copy (vec_id + 10^7) of every
     // vec_id ≡ 3 (mod 100). Identical vectors share every RHP bucket
     // (same sign bits in all tables), so the detector must emit each
@@ -376,13 +425,26 @@ object SparkEntry {
     // reaches cos ≥ 0.999.
     "q_embed_ann_planted" -> ((s, dir) => {
       import s.implicits._
-      val e = readT(s, dir, "embeddings").select($"vec_id", $"embedding")
-      val copies = e.filter($"vec_id" % 100 === 3)
-        .select(($"vec_id" + 10000000L).as("vec_id"), $"embedding")
-      EmbeddingSim.rhpBucketTopK(s, e.unionByName(copies), k = 5)
+      EmbeddingSim.rhpBucketTopK(s, plantedEmbeddings(s, dir), k = 5)
         .filter($"cos_x10000" >= 9990)
         .select($"query_id", $"neighbor_id")
     }),
+    // IVF recall oracle (q_embed_ann_planted twin): identical planted
+    // vectors share the L2-argmin cell, so IVF must emit each planted
+    // pair in both directions at cos = 1.0; the raw corpus is
+    // near-orthogonal so nothing else reaches cos ≥ 0.999.
+    "q_ivf_planted" -> ((s, dir) => {
+      import s.implicits._
+      IvfIndex.ivfTopK(s, plantedEmbeddings(s, dir), k = 5)
+        .filter($"cos_x10000" >= 9990)
+        .select($"query_id", $"neighbor_id")
+    }),
+    // SemDeDup-style semantic dedup, full closed-form oracle: the only
+    // cos ≥ 0.95 intra-cell pairs are the planted identical twins, so
+    // every original is kept (the twin has the HIGHER id) and every
+    // copy maps to its original.
+    "q_semantic_dedup" -> ((s, dir) =>
+      IvfIndex.semanticDedup(s, plantedEmbeddings(s, dir), threshold = 0.95)),
     // ---- multimodal: full oracle — the synthetic corpus's dup
     // structure (id ≡ 7 mod 8 duplicates id-3) is closed-form, so
     // rep/is_unique/n_refs are exactly predictable without engine-side
@@ -580,6 +642,25 @@ object SparkEntry {
         |SELECT vec_id AS query_id, vec_id + 10000000 AS neighbor_id FROM sel
         |UNION ALL
         |SELECT vec_id + 10000000 AS query_id, vec_id AS neighbor_id FROM sel""".stripMargin,
+    "q_ivf_ann" ->
+      """WITH sel AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 3)
+        |SELECT CAST(2 * (SELECT count(*) FROM sel) AS BIGINT) AS n_planted,
+        |  CAST(2 * (SELECT count(*) FROM sel) AS BIGINT) AS planted_found_rank1,
+        |  CAST(0 AS BIGINT) AS cos_mismatches,
+        |  CAST(0 AS BIGINT) AS rank_violations,
+        |  CAST(0 AS BIGINT) AS self_pairs,
+        |  CAST(0 AS BIGINT) AS dup_pairs""".stripMargin,
+    "q_ivf_planted" ->
+      """WITH sel AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 3)
+        |SELECT vec_id AS query_id, vec_id + 10000000 AS neighbor_id FROM sel
+        |UNION ALL
+        |SELECT vec_id + 10000000 AS query_id, vec_id AS neighbor_id FROM sel""".stripMargin,
+    "q_semantic_dedup" ->
+      """WITH sel AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 3)
+        |SELECT vec_id, vec_id AS rep_id, true AS is_kept FROM embeddings
+        |UNION ALL
+        |SELECT vec_id + 10000000 AS vec_id, vec_id AS rep_id, false AS is_kept
+        |FROM sel""".stripMargin,
     "q_media_dedup" ->
       """WITH m AS (SELECT unnest(range(0, 512)) AS id)
         |SELECT id AS media_id,
@@ -620,6 +701,43 @@ object SparkEntry {
          |       (SELECT count(DISTINCT conv_id) FROM t) AS n_clusters""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id, CAST($tokenCountSql AS BIGINT) AS n_tokens FROM documents""",
+    // identical RE2-safe regex on both sides (see subwordTokenCount)
+    "q_subword_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS BIGINT) AS n_subtokens
+        |FROM documents""".stripMargin,
+    // full row-level recompute of every repetition ratio: the top-token
+    // share via unnest+groupBy (set-based), bigrams via the same
+    // list_transform(range(...)) shape as q_ngram_jaccard_2
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks,
+        |    length(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS nlen
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t WHERE nlen > 0),
+        |freq AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS topc, sum(c) AS n, count(*) AS nd
+        |        FROM freq GROUP BY 1),
+        |g AS (SELECT doc_id, len(gl) AS ng, len(list_distinct(gl)) AS ngd
+        |      FROM (SELECT doc_id,
+        |              list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS gl
+        |            FROM t WHERE nlen > 0 AND len(toks) >= 2)),
+        |r AS (
+        |  SELECT t.doc_id,
+        |    CAST(coalesce(top.n, 0) AS BIGINT) AS n_tokens,
+        |    CAST(CASE WHEN coalesce(top.n, 0) = 0 THEN 0
+        |         ELSE floor(10000.0 * (top.n - top.nd) / top.n) END AS BIGINT) AS dup_token_ratio_x10000,
+        |    CAST(CASE WHEN coalesce(top.n, 0) = 0 THEN 0
+        |         ELSE floor(10000.0 * top.topc / top.n) END AS BIGINT) AS top_token_ratio_x10000,
+        |    CAST(CASE WHEN coalesce(g.ng, 0) = 0 THEN 0
+        |         ELSE floor(10000.0 * (g.ng - g.ngd) / g.ng) END AS BIGINT) AS dup_2gram_ratio_x10000
+        |  FROM t LEFT JOIN top USING (doc_id) LEFT JOIN g USING (doc_id))
+        |SELECT doc_id, n_tokens, dup_token_ratio_x10000, top_token_ratio_x10000,
+        |  dup_2gram_ratio_x10000,
+        |  (dup_token_ratio_x10000 <= 3000 AND top_token_ratio_x10000 <= 2500
+        |   AND dup_2gram_ratio_x10000 <= 2000) AS keep
+        |FROM r""".stripMargin,
     "q_quality" ->
       s"""WITH f AS (
          |  SELECT doc_id,

@@ -128,14 +128,26 @@ object EmbeddingSim {
       bucketCap: Int = 2048): DataFrame = {
     import spark.implicits._
     val keys = bucketKeys(spark, corpus, bits, tables, seed)
-    // per-bucket cap WITHOUT a window: repartition on bucket, sort
-    // within partitions, stream-count each bucket in a single pass —
-    // the same scale-safe shape as MinHashLSH.candidatePairs. A
-    // row_number window would sort a mega-bucket in ONE task; here a
-    // hot bucket costs a linear scan inside an ordinary shuffle
-    // partition and the cap is deterministic (first `bucketCap` ids).
+    val capped = capByKey(spark, keys, bucketCap)
+    // candidate pairs within capped buckets (both directions kept)
+    val cands = capped.as("a")
+      .join(capped.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("query_id"), $"b.vec_id".as("vec_id"))
+      .distinct()
+    rerankTopK(spark, corpus, cands, k)
+  }
+
+  /** Per-bucket cap WITHOUT a window: repartition on bucket, sort
+    * within partitions, stream-count each bucket in a single pass —
+    * the same scale-safe shape as MinHashLSH.candidatePairs. A
+    * row_number window would sort a mega-bucket in ONE task; here a
+    * hot bucket costs a linear scan inside an ordinary shuffle
+    * partition and the cap is deterministic (first `cap` ids).
+    * Input/output schema: (bucket: Long, vec_id: Long). */
+  private[operators] def capByKey(spark: SparkSession, keys: DataFrame, cap: Int): DataFrame = {
+    import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val capped = keys
+    keys
       .repartition(parts, $"bucket")
       .sortWithinPartitions($"bucket", $"vec_id")
       .as[(Long, Long)]
@@ -146,15 +158,16 @@ object EmbeddingSim {
         it.filter { case (b, _) =>
           if (!started || b != cur) { cur = b; n = 0; started = true }
           n += 1
-          n <= bucketCap
+          n <= cap
         }
       }
       .toDF("bucket", "vec_id")
-    // candidate pairs within capped buckets (both directions kept)
-    val cands = capped.as("a")
-      .join(capped.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
-      .select($"a.vec_id".as("query_id"), $"b.vec_id".as("vec_id"))
-      .distinct()
+  }
+
+  /** Exact-cosine re-rank of candidate (query_id, vec_id) pairs to
+    * top-k per query — shared tail of every bucketed ANN path. */
+  private[operators] def rerankTopK(spark: SparkSession, corpus: DataFrame, cands: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
     val embD = corpus.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
     val scored = cands
       .join(embD.withColumnsRenamed(Map("vec_id" -> "query_id", "embedding" -> "q_emb")), Seq("query_id"))

@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** IVF (inverted-file) vector index and embedding-level semantic dedup
+  * over an `(vec_id: long, embedding: array<float>)` corpus.
+  *
+  * The coarse quantizer is a deterministic k-means fit on a
+  * hash-selected driver sample — the standard IVF training shape
+  * (FAISS trains its coarse quantizer on a sample too): the model is
+  * `nCells × dim` doubles — kilobytes — so fitting it on the driver is
+  * not a scale concern; only the single narrow ASSIGNMENT pass touches
+  * the corpus, with the centroid matrix broadcast. Everything is a
+  * pure function of (corpus, seed): no stored model, no RNG.
+  *
+  * Two consumers:
+  *  - [[ivfTopK]]: ANN top-k — each query probes its `nProbe` nearest
+  *    cells, candidates are the (capped) cell members, exact cosine
+  *    re-ranks. Complements [[EmbeddingSim.rhpBucketTopK]]: IVF adapts
+  *    to the data distribution (cells follow density) where RHP-LSH is
+  *    data-oblivious; both share the capped-bucket join + re-rank tail.
+  *  - [[semanticDedup]]: SemDeDup-style pruning (Abbas et al. 2023,
+  *    arXiv:2303.09540) — within each cell, a vector is dropped when a
+  *    LOWER-ID cell-mate has cosine ≥ threshold (deterministic
+  *    first-writer-wins, the embedding-space analog of the exact-dedup
+  *    T6 rule, /root/reference/src/dedup.c:150-173). Per the paper the
+  *    pair test is intra-cell only and reps are not chased
+  *    transitively: rep(v) is v's minimum qualifying cell-mate.
+  *
+  * Scale shape: one TakeOrdered sample (top-N by hash, per-partition
+  * then merged — never a full sort), one broadcast, one narrow
+  * assignment pass, then the same capped-bucket self-join every other
+  * detector uses. No all-pairs anywhere; a mega-cell costs cap² like
+  * any other hot bucket.
+  */
+object IvfIndex {
+
+  /** Deterministic k-means centroids: sample = the `sampleN` corpus
+    * vectors minimizing xxhash64(vec_id ^ seed) (a seeded but
+    * data-independent choice), init = first `nCells` content-distinct
+    * sample vectors, then `iters` Lloyd rounds on the driver sample.
+    * Empty cells keep their previous centroid. L2 metric (the IVF
+    * convention; identical vectors land in identical cells under any
+    * metric, which is what [[semanticDedup]]'s contract needs). */
+  def fitCentroids(
+      spark: SparkSession,
+      corpus: DataFrame,
+      nCells: Int,
+      seed: Long = 42L,
+      sampleN: Int = 4096,
+      iters: Int = 8): Array[Array[Double]] = {
+    import spark.implicits._
+    val sample: Array[Array[Double]] = corpus
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .orderBy(xxhash64($"vec_id", lit(seed)), $"vec_id")
+      .limit(sampleN)
+      .select($"embedding")
+      .as[Seq[Double]]
+      .collect()
+      .map(_.toArray)
+    require(sample.nonEmpty, "fitCentroids: empty corpus")
+
+    // init: first nCells content-distinct sample vectors (duplicate
+    // contents would yield coincident centroids and dead cells)
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    var i = 0
+    while (i < sample.length && init.length < nCells) {
+      val v = sample(i)
+      if (seen.add(v.toSeq)) init += v.clone()
+      i += 1
+    }
+    var cents = init.toArray
+
+    var it = 0
+    while (it < iters) {
+      val k = cents.length
+      val dim = cents(0).length
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      var s = 0
+      while (s < sample.length) {
+        val v = sample(s)
+        val c = nearestCell(v, cents)
+        var d = 0
+        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+        counts(c) += 1
+        s += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val m = new Array[Double](dim)
+          var d = 0
+          while (d < dim) { m(d) = sums(c)(d) / counts(c); d += 1 }
+          m
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Index of the L2-nearest centroid; ties break to the lowest cell
+    * index (scan order), so identical vectors always share a cell. */
+  private def nearestCell(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)
+      var d2 = 0.0
+      var d = 0
+      while (d < cent.length && d < v.length) {
+        val diff = v(d) - cent(d)
+        d2 += diff * diff
+        d += 1
+      }
+      if (d2 < bestD) { bestD = d2; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** `nProbe` nearest cell indices, ascending by (distance, cell). */
+  private def nearestCells(v: Array[Double], cents: Array[Array[Double]], nProbe: Int): Array[Int] = {
+    val ds = Array.tabulate(cents.length) { c =>
+      val cent = cents(c)
+      var d2 = 0.0
+      var d = 0
+      while (d < cent.length && d < v.length) {
+        val diff = v(d) - cent(d)
+        d2 += diff * diff
+        d += 1
+      }
+      (d2, c)
+    }
+    ds.sortBy(identity).take(math.min(nProbe, cents.length)).map(_._2)
+  }
+
+  /** (cell: long, vec_id: long) assignment — ONE narrow pass with the
+    * centroid matrix broadcast; nothing shuffles. */
+  def assignCells(
+      spark: SparkSession,
+      corpus: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    corpus.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.map { case (id, v) =>
+          val vd = new Array[Double](v.length)
+          var d = 0
+          while (d < v.length) { vd(d) = v(d); d += 1 }
+          (nearestCell(vd, cs).toLong, id)
+        }
+      }
+      .toDF("cell", "vec_id")
+  }
+
+  /** IVF ANN top-k: probe `nProbe` nearest cells per query (every
+    * corpus vector is a query), candidates = capped cell members,
+    * exact cosine re-rank. Same output schema as
+    * [[EmbeddingSim.rhpBucketTopK]]:
+    * (query_id, neighbor_id, rank, cos_x10000). */
+  def ivfTopK(
+      spark: SparkSession,
+      corpus: DataFrame,
+      k: Int = 10,
+      nCells: Int = 64,
+      nProbe: Int = 2,
+      seed: Long = 42L,
+      cellCap: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val cents = fitCentroids(spark, corpus, nCells, seed)
+    val members = EmbeddingSim.capByKey(spark,
+      assignCells(spark, corpus, cents).select($"cell".as("bucket"), $"vec_id"), cellCap)
+      .withColumnsRenamed(Map("bucket" -> "cell"))
+    val bc = spark.sparkContext.broadcast(cents)
+    val nP = nProbe
+    val probes = corpus.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.flatMap { case (id, v) =>
+          val vd = new Array[Double](v.length)
+          var d = 0
+          while (d < v.length) { vd(d) = v(d); d += 1 }
+          nearestCells(vd, cs, nP).iterator.map(c => (c.toLong, id))
+        }
+      }
+      .toDF("cell", "query_id")
+    val cands = probes
+      .join(members, Seq("cell"))
+      .filter($"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id")
+      .distinct()
+    EmbeddingSim.rerankTopK(spark, corpus, cands, k)
+  }
+
+  /** SemDeDup-style semantic dedup: drop a vector when a lower-id
+    * member of its OWN cell is cosine-≥-threshold close. Output one
+    * row per corpus vector: (vec_id, rep_id, is_kept) where rep_id is
+    * the minimum qualifying lower-id cell-mate (itself when kept).
+    *
+    * The candidate stage is the intra-cell self-join with the same
+    * hard per-cell cap as every detector; the keep rule is a single
+    * partial-aggregating groupBy(vec_id) — no CC loop needed because
+    * the paper's rule is per-pair, not transitive. */
+  def semanticDedup(
+      spark: SparkSession,
+      corpus: DataFrame,
+      threshold: Double = 0.95,
+      nCells: Int = 64,
+      seed: Long = 42L,
+      cellCap: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val cents = fitCentroids(spark, corpus, nCells, seed)
+    val members = EmbeddingSim.capByKey(spark,
+      assignCells(spark, corpus, cents).select($"cell".as("bucket"), $"vec_id"), cellCap)
+      .withColumnsRenamed(Map("bucket" -> "cell"))
+    val embD = corpus.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val thrX = (threshold * 10000).toLong
+    val reps = members.as("a")
+      .join(members.as("b"), $"a.cell" === $"b.cell" && $"b.vec_id" < $"a.vec_id")
+      .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("cand_rep"))
+      .join(embD, Seq("vec_id"))
+      .join(embD.withColumnsRenamed(Map("vec_id" -> "cand_rep", "embedding" -> "r_emb")),
+        Seq("cand_rep"))
+      .filter(floor(EmbeddingSim.cosineCol($"embedding", $"r_emb") * 10000)
+        .cast("bigint") >= thrX)
+      .groupBy($"vec_id")
+      .agg(min($"cand_rep").as("dup_of"))
+    corpus.select($"vec_id")
+      .join(reps, Seq("vec_id"), "left")
+      .select($"vec_id",
+        coalesce($"dup_of", $"vec_id").as("rep_id"),
+        $"dup_of".isNull.as("is_kept"))
+  }
+}

@@ -20,6 +20,17 @@ object TextAnalysis {
       length(collapsed) - length(regexp_replace(collapsed, " ", "")) + 1)
   }
 
+  /** BPE-style subword token count: number of pre-tokenizer matches of
+    * the GPT-2 pattern (Radford et al. 2019), simplified to an
+    * RE2-compatible form — no lookahead, ASCII classes — so the DuckDB
+    * oracle evaluates the IDENTICAL regex:
+    * {{{ ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +}}}
+    * Each match is one pre-token ("hello world 42!" → 4); real BPE
+    * splits pre-tokens further by learned merges, so this lower-bounds
+    * and tracks the true BPE count. Narrow per-row expr — scan speed. */
+  def subwordTokenCount(c: Column): Column =
+    regexp_count(c, lit(" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +")).cast("bigint")
+
   /** Stopword-marker language ID — n-gram/keyword heuristic over the
     * five corpus languages. Returns 'und' when no marker hits. A real
     * deployment swaps in a trained n-gram profile; the operator shape
@@ -76,6 +87,68 @@ object TextAnalysis {
     graft.plans.GraftFunctions.register(df.sparkSession)
     df.withColumn("doc_fp", call_function("graft_doc_fp", col(textCol)))
   }
+
+  /** Repetition-based quality signals (the public Gopher/MassiveText
+    * filter family, Rae et al. 2021 §A1.1: duplicate-token fraction,
+    * top-token coverage, duplicate-n-gram coverage — adapted to
+    * token granularity since this corpus has no line structure). All
+    * per-row higher-order-function expressions over one tokenization:
+    * NO shuffle, embarrassingly parallel, runs at scan speed at any
+    * corpus size. Ratios are ×10000-scaled BIGINTs (engine-portable
+    * integer compare):
+    *  - `dup_token_ratio_x10000`: fraction of tokens that are repeats
+    *    of an earlier token, (n − n_distinct) / n.
+    *  - `top_token_ratio_x10000`: the most frequent token's share of
+    *    all tokens (computed as the longest run in the sorted token
+    *    array — one linear `aggregate`, not an n² count-per-distinct).
+    *  - `dup_2gram_ratio_x10000`: fraction of adjacent-token bigrams
+    *    that are repeats, (g − g_distinct) / g.
+    */
+  def repetitionStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val norm = regexp_replace(trim(lower(col(textCol))), " +", " ")
+    val toks = split(norm, " ")
+    val empty = length(norm) === 0
+    val n = when(empty, lit(0L)).otherwise(size(toks).cast("bigint"))
+    val nDistinct = when(empty, lit(0L)).otherwise(size(array_distinct(toks)).cast("bigint"))
+    // longest run in the sorted array == max token frequency; one
+    // linear pass with a (prev, run, best) struct accumulator
+    val top = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val topCount = when(n === 0L, lit(0L)).otherwise(top)
+    val grams = zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val g = when(n >= 2L, size(grams).cast("bigint")).otherwise(lit(0L))
+    val gDistinct = when(n >= 2L, size(array_distinct(grams)).cast("bigint")).otherwise(lit(0L))
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(0L)).otherwise(floor(lit(10000.0) * num / den))
+    df.select(col(idCol),
+      n.as("n_tokens"),
+      ratio(n - nDistinct, n).as("dup_token_ratio_x10000"),
+      ratio(topCount, n).as("top_token_ratio_x10000"),
+      ratio(g - gDistinct, g).as("dup_2gram_ratio_x10000"))
+  }
+
+  /** Repetition filter: [[repetitionStats]] plus the keep decision —
+    * a doc is kept when every repetition signal is under its threshold
+    * (defaults are of the Gopher magnitude; tune per corpus). */
+  def repetitionFilter(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDupTokenX10000: Long = 3000L,
+      maxTopTokenX10000: Long = 2500L,
+      maxDup2gramX10000: Long = 2000L): DataFrame =
+    repetitionStats(df, idCol, textCol).withColumn("keep",
+      col("dup_token_ratio_x10000") <= maxDupTokenX10000 &&
+        col("top_token_ratio_x10000") <= maxTopTokenX10000 &&
+        col("dup_2gram_ratio_x10000") <= maxDup2gramX10000)
 
   /** Deduped-corpus export: one row per distinct NORMALIZED text — the
     * kept doc (lowest id, first-writer-wins like the reference's

@@ -212,4 +212,86 @@ class TrainingOpsSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(got2 == got)
   }
+
+  test("subwordTokenCount: GPT-2-ish pre-token segmentation") {
+    import spark.implicits._
+    val df = Seq(
+      ("", 0L),
+      ("hello world", 2L),             // "hello", " world"
+      ("hello world 42!", 4L),         // + " 42", "!"
+      ("it's a test", 5L),             // "it", "'", "s", " a", " test"
+      ("  padded  ", 3L)               // "  ", "padded", "  "
+    ).toDF("text", "expected")
+    val got = df.withColumn("n", TextAnalysis.subwordTokenCount($"text"))
+    assert(got.filter($"n" =!= $"expected").count() == 0,
+      got.collect().mkString(";"))
+  }
+
+  test("repetitionStats matches hand-computed ratios") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a a a a"),     // n=4 nd=1 top=4 | grams: 3x "a a", 1 distinct
+      (2L, "a b c d"),     // all distinct
+      (3L, "a b a b a"),   // n=5 nd=2 top=3 | grams: ab,ba,ab,ba → 4/2
+      (4L, ""),            // empty → all zero
+      (5L, "solo")         // single token → top=10000, no grams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionStats(df).orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, 4L, 7500L, 10000L, 6666L),
+      (2L, 4L, 0L, 2500L, 0L),
+      (3L, 5L, 6000L, 6000L, 5000L),
+      (4L, 0L, 0L, 0L, 0L),
+      (5L, 1L, 0L, 10000L, 0L)))
+  }
+
+  test("repetitionFilter keeps prose, drops repetitive docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumped over one lazy dog again today"),
+      (2L, "spam spam spam spam spam spam spam spam")).toDF("doc_id", "text")
+    val keeps = TextAnalysis.repetitionFilter(df)
+      .select($"doc_id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(keeps(1L) && !keeps(2L))
+  }
+
+  test("IVF: deterministic centroids; planted twin found at rank 1") {
+    import spark.implicits._
+    val e = embeddings.select($"vec_id", $"embedding")
+    val twins = e.filter($"vec_id" % 100 === 3)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val corpus = e.unionByName(twins)
+    val c1 = IvfIndex.fitCentroids(spark, corpus, nCells = 16)
+    val c2 = IvfIndex.fitCentroids(spark, corpus, nCells = 16)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    val top = IvfIndex.ivfTopK(spark, corpus, k = 3, nCells = 16)
+    val nTwins = twins.count()
+    assert(nTwins > 0)
+    // every planted pair surfaces at rank 1 with cos ≈ 1, both directions
+    val found = top.filter($"rank" === 1 && $"cos_x10000" >= 9990 &&
+      (($"neighbor_id" === $"query_id" + 1000000L) ||
+       ($"neighbor_id" === $"query_id" - 1000000L))).count()
+    assert(found == 2 * nTwins, s"found=$found expected=${2 * nTwins}")
+    // ranks are 1..k, no self pairs
+    assert(top.filter($"query_id" === $"neighbor_id").count() == 0)
+    assert(top.filter($"rank" < 1 || $"rank" > 3).count() == 0)
+  }
+
+  test("semanticDedup drops planted copies (rep = original), keeps originals") {
+    import spark.implicits._
+    val e = embeddings.select($"vec_id", $"embedding")
+    val twins = e.filter($"vec_id" % 100 === 3)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val corpus = e.unionByName(twins)
+    val out = IvfIndex.semanticDedup(spark, corpus, threshold = 0.95, nCells = 16)
+    assert(out.count() == corpus.count()) // one row per vector
+    // all originals kept and self-representing
+    assert(out.filter($"vec_id" < 1000000L &&
+      (!$"is_kept" || $"rep_id" =!= $"vec_id")).count() == 0)
+    // every copy dropped with rep = its original
+    val copies = out.filter($"vec_id" >= 1000000L)
+    assert(copies.count() > 0)
+    assert(copies.filter($"is_kept" || $"rep_id" =!= $"vec_id" - 1000000L).count() == 0)
+  }
 }
