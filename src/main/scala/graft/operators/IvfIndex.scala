@@ -161,21 +161,39 @@ object IvfIndex {
       .toDF("cell", "vec_id")
   }
 
+  /** √N auto cell count (the standard IVF sizing rule: expected cell
+    * population = candidates re-ranked per probe = √N), floored at 16,
+    * capped at 2^16 — past that a driver-sample fit stops being the
+    * right trainer and a hierarchical / distributed k-means should
+    * replace it (documented scale boundary; the assignment and search
+    * passes are shape-identical either way). */
+  private def autoCells(corpus: DataFrame, nCells: Int): Int =
+    if (nCells > 0) nCells
+    else math.min(65536,
+      math.max(16, math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
+
   /** IVF ANN top-k: probe `nProbe` nearest cells per query (every
     * corpus vector is a query), candidates = capped cell members,
     * exact cosine re-rank. Same output schema as
     * [[EmbeddingSim.rhpBucketTopK]]:
-    * (query_id, neighbor_id, rank, cos_x10000). */
+    * (query_id, neighbor_id, rank, cos_x10000).
+    *
+    * nCells ≤ 0 (default) auto-sizes to √N so per-query re-rank work
+    * stays Θ(nProbe·√N). Keying is two narrow corpus passes (member
+    * cells, probe cells) — both scan only (vec_id, embedding) and are
+    * dwarfed by the candidate shuffle at any scale. */
   def ivfTopK(
       spark: SparkSession,
       corpus: DataFrame,
       k: Int = 10,
-      nCells: Int = 64,
+      nCells: Int = 0,
       nProbe: Int = 2,
       seed: Long = 42L,
       cellCap: Int = 4096): DataFrame = {
     import spark.implicits._
-    val cents = fitCentroids(spark, corpus, nCells, seed)
+    val cells = autoCells(corpus, nCells)
+    val cents = fitCentroids(spark, corpus, cells, seed,
+      sampleN = math.max(4096, 8 * cells))
     val members = EmbeddingSim.capByKey(spark,
       assignCells(spark, corpus, cents).select($"cell".as("bucket"), $"vec_id"), cellCap)
       .withColumnsRenamed(Map("bucket" -> "cell"))
@@ -213,11 +231,13 @@ object IvfIndex {
       spark: SparkSession,
       corpus: DataFrame,
       threshold: Double = 0.95,
-      nCells: Int = 64,
+      nCells: Int = 0,
       seed: Long = 42L,
       cellCap: Int = 4096): DataFrame = {
     import spark.implicits._
-    val cents = fitCentroids(spark, corpus, nCells, seed)
+    val cells = autoCells(corpus, nCells)
+    val cents = fitCentroids(spark, corpus, cells, seed,
+      sampleN = math.max(4096, 8 * cells))
     val members = EmbeddingSim.capByKey(spark,
       assignCells(spark, corpus, cents).select($"cell".as("bucket"), $"vec_id"), cellCap)
       .withColumnsRenamed(Map("bucket" -> "cell"))

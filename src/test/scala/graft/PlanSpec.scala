@@ -83,6 +83,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in LSH path")
   }
 
+  test("IVF and semantic-dedup plans are equi-joins (no cartesian, no nested loop)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    for (df <- Seq(
+        IvfIndex.ivfTopK(spark, emb, k = 3, nCells = 8),
+        IvfIndex.semanticDedup(spark, emb, threshold = 0.95, nCells = 8))) {
+      val plan = executed(df)
+      assert(!plan.contains("CartesianProduct"), "cartesian in IVF path")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), "nested-loop join in IVF path")
+    }
+  }
+
   test("restore join preserves pushdown of the point-read predicate") {
     import spark.implicits._
     // direct point read (reference R9 analog): WHERE conv_id = X
