@@ -147,8 +147,15 @@ object EmbeddingSim {
   private[operators] def capByKey(spark: SparkSession, keys: DataFrame, cap: Int): DataFrame = {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    keys
-      .repartition(parts, $"bucket")
+    capSortedByKey(spark, keys.repartition(parts, $"bucket"), cap)
+  }
+
+  /** The cap's in-partition tail for input ALREADY hash-partitioned on
+    * `bucket` — lets a caller share one exchange between the cap and
+    * other consumers (ReuseExchange dedups the identical shuffle). */
+  private[operators] def capSortedByKey(spark: SparkSession, partitioned: DataFrame, cap: Int): DataFrame = {
+    import spark.implicits._
+    partitioned
       .sortWithinPartitions($"bucket", $"vec_id")
       .as[(Long, Long)]
       .mapPartitions { it =>

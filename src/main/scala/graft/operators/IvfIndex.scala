@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.Hashing
 
 /** IVF (inverted-file) vector index and embedding-level semantic dedup
   * over an `(vec_id: long, embedding: array<float>)` corpus.
@@ -85,7 +84,10 @@ object IvfIndex {
         val v = sample(s)
         val c = nearestCell(v, cents)
         var d = 0
-        while (d < dim) { sums(c)(d) += v(d); d += 1 }
+        // bound by BOTH widths: mixed-dimension corpora are supported
+        // everywhere else (see EmbeddingSim.bucketKeys) and must not
+        // crash the fit — a short vector contributes its prefix
+        while (d < dim && d < v.length) { sums(c)(d) += v(d); d += 1 }
         counts(c) += 1
         s += 1
       }
@@ -124,9 +126,18 @@ object IvfIndex {
     best
   }
 
-  /** `nProbe` nearest cell indices, ascending by (distance, cell). */
+  /** `nProbe` nearest cell indices, ascending by (distance, cell) —
+    * bounded insertion into a fixed top-k (O(C·nProbe), zero
+    * allocation beyond the two small result arrays; a full C log C
+    * tuple sort per corpus row was the hot-path cost before). Strict
+    * `<` keeps the lower cell index on distance ties, matching
+    * [[nearestCell]]'s scan-order rule. */
   private def nearestCells(v: Array[Double], cents: Array[Array[Double]], nProbe: Int): Array[Int] = {
-    val ds = Array.tabulate(cents.length) { c =>
+    val k = math.min(nProbe, cents.length)
+    val bestD = Array.fill(k)(Double.MaxValue)
+    val bestC = Array.fill(k)(-1)
+    var c = 0
+    while (c < cents.length) {
       val cent = cents(c)
       var d2 = 0.0
       var d = 0
@@ -135,9 +146,16 @@ object IvfIndex {
         d2 += diff * diff
         d += 1
       }
-      (d2, c)
+      if (d2 < bestD(k - 1)) {
+        var i = k - 1
+        while (i > 0 && d2 < bestD(i - 1)) {
+          bestD(i) = bestD(i - 1); bestC(i) = bestC(i - 1); i -= 1
+        }
+        bestD(i) = d2; bestC(i) = c
+      }
+      c += 1
     }
-    ds.sortBy(identity).take(math.min(nProbe, cents.length)).map(_._2)
+    bestC.filter(_ >= 0)
   }
 
   /** (cell: long, vec_id: long) assignment — ONE narrow pass with the
@@ -179,9 +197,11 @@ object IvfIndex {
     * (query_id, neighbor_id, rank, cos_x10000).
     *
     * nCells ≤ 0 (default) auto-sizes to √N so per-query re-rank work
-    * stays Θ(nProbe·√N). Keying is two narrow corpus passes (member
-    * cells, probe cells) — both scan only (vec_id, embedding) and are
-    * dwarfed by the candidate shuffle at any scale. */
+    * stays Θ(nProbe·√N). ONE keying pass computes centroid distances
+    * (rank-0 probe = the vector's own cell = its membership) and lands
+    * in ONE hash exchange on `cell` that both consumers — the capped
+    * member list and the probe stream — read via ReuseExchange, so the
+    * coarse-quantization compute is never repeated. */
   def ivfTopK(
       spark: SparkSession,
       corpus: DataFrame,
@@ -194,23 +214,11 @@ object IvfIndex {
     val cells = autoCells(corpus, nCells)
     val cents = fitCentroids(spark, corpus, cells, seed,
       sampleN = math.max(4096, 8 * cells))
-    val members = EmbeddingSim.capByKey(spark,
-      assignCells(spark, corpus, cents).select($"cell".as("bucket"), $"vec_id"), cellCap)
+    val keys = probeKeys(spark, corpus, cents, nProbe)
+    val members = EmbeddingSim.capSortedByKey(spark,
+      keys.filter($"probe_rank" === 0).select($"cell".as("bucket"), $"vec_id"), cellCap)
       .withColumnsRenamed(Map("bucket" -> "cell"))
-    val bc = spark.sparkContext.broadcast(cents)
-    val nP = nProbe
-    val probes = corpus.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
-      .mapPartitions { rows =>
-        val cs = bc.value
-        rows.flatMap { case (id, v) =>
-          val vd = new Array[Double](v.length)
-          var d = 0
-          while (d < v.length) { vd(d) = v(d); d += 1 }
-          nearestCells(vd, cs, nP).iterator.map(c => (c.toLong, id))
-        }
-      }
-      .toDF("cell", "query_id")
-    val cands = probes
+    val cands = keys.select($"cell", $"vec_id".as("query_id"))
       .join(members, Seq("cell"))
       .filter($"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id")
@@ -218,15 +226,50 @@ object IvfIndex {
     EmbeddingSim.rerankTopK(spark, corpus, cands, k)
   }
 
+  /** (cell, vec_id, probe_rank 0..nProbe-1) keys, hash-partitioned on
+    * `cell` — the single distance pass every IVF consumer shares (both
+    * downstream branches need a `cell` shuffle anyway; pinning it here
+    * lets ReuseExchange compute the pass once). */
+  private def probeKeys(
+      spark: SparkSession,
+      corpus: DataFrame,
+      cents: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    corpus.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val cs = bc.value
+        rows.flatMap { case (id, v) =>
+          val vd = new Array[Double](v.length)
+          var d = 0
+          while (d < v.length) { vd(d) = v(d); d += 1 }
+          val near = nearestCells(vd, cs, nProbe)
+          Iterator.tabulate(near.length)(r => (near(r).toLong, id, r))
+        }
+      }
+      .toDF("cell", "vec_id", "probe_rank")
+      .repartition(parts, $"cell")
+  }
+
   /** SemDeDup-style semantic dedup: drop a vector when a lower-id
     * member of its OWN cell is cosine-≥-threshold close. Output one
     * row per corpus vector: (vec_id, rep_id, is_kept) where rep_id is
     * the minimum qualifying lower-id cell-mate (itself when kept).
     *
-    * The candidate stage is the intra-cell self-join with the same
-    * hard per-cell cap as every detector; the keep rule is a single
-    * partial-aggregating groupBy(vec_id) — no CC loop needed because
-    * the paper's rule is per-pair, not transitive. */
+    * Skew: only the MEMBER ('b') side of the intra-cell join is capped
+    * — every vector still probes its cell as a query, so a mega-cell
+    * (10k near-identical spam embeddings — the exact workload this
+    * operator targets) costs |cell|·cap compares, never |cell|², and
+    * every capped-out duplicate still finds a lower-id member (the cap
+    * keeps the cell's LOWEST vec_ids, which are exactly the candidates
+    * the lower-id-wins rule needs). Residual cap loss is only a dup
+    * group none of whose members made the cap AND whose cell holds >
+    * cellCap lower-id non-duplicates — log the cap if tightening it.
+    * The keep rule is a single partial-aggregating groupBy(vec_id) —
+    * no CC loop needed because the paper's rule is per-pair, not
+    * transitive. */
   def semanticDedup(
       spark: SparkSession,
       corpus: DataFrame,
@@ -238,12 +281,13 @@ object IvfIndex {
     val cells = autoCells(corpus, nCells)
     val cents = fitCentroids(spark, corpus, cells, seed,
       sampleN = math.max(4096, 8 * cells))
-    val members = EmbeddingSim.capByKey(spark,
-      assignCells(spark, corpus, cents).select($"cell".as("bucket"), $"vec_id"), cellCap)
+    val keys = probeKeys(spark, corpus, cents, 1)
+    val members = EmbeddingSim.capSortedByKey(spark,
+      keys.select($"cell".as("bucket"), $"vec_id"), cellCap)
       .withColumnsRenamed(Map("bucket" -> "cell"))
     val embD = corpus.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
     val thrX = (threshold * 10000).toLong
-    val reps = members.as("a")
+    val reps = keys.as("a")
       .join(members.as("b"), $"a.cell" === $"b.cell" && $"b.vec_id" < $"a.vec_id")
       .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("cand_rep"))
       .join(embD, Seq("vec_id"))

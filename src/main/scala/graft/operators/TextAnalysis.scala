@@ -105,7 +105,10 @@ object TextAnalysis {
     *    that are repeats, (g − g_distinct) / g.
     */
   def repetitionStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val norm = regexp_replace(trim(lower(col(textCol))), " +", " ")
+    // NULL text ≡ empty (all ratios 0, keep=true) — matches the DuckDB
+    // oracle's LEFT JOIN + coalesce path; without this a NULL propagates
+    // through the when() guards into NULL ratios and a NULL keep
+    val norm = regexp_replace(trim(lower(coalesce(col(textCol), lit("")))), " +", " ")
     val toks = split(norm, " ")
     val empty = length(norm) === 0
     val n = when(empty, lit(0L)).otherwise(size(toks).cast("bigint"))

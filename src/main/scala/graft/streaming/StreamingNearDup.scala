@@ -24,9 +24,11 @@ import graft.DedupConfig
   *    are evicted on every bucket invocation, and an idle bucket's
   *    whole state is removed by its event-time timeout — state size is
   *    O(docs in horizon), never O(corpus).
-  *  - per-bucket cap: a bucket holds at most `bucketCap` members
-  *    (oldest evicted first — the batch path's mega-bucket star-cap
-  *    analog); an arrival therefore costs ≤ cap signature compares.
+  *  - per-bucket cap: a bucket holds at most `memberCap` members
+  *    (oldest evicted first); an arrival therefore costs ≤ cap
+  *    signature compares. Eviction by cap loses the evicted member's
+  *    future pairs in THIS band (its other bands are the redundancy),
+  *    so the cap defaults high — see the param note.
   *
   * Emission is at-least-once across BANDS: a pair sharing several
   * bands is emitted by each (the batch path's cross-band
@@ -64,17 +66,27 @@ object StreamingNearDup {
 
   /** docs stream (conv_id, doc_text, ts) → near-dup pair stream.
     * @param watermark how late a document may arrive and still be
-    *        matched against its bucket; also the state horizon. */
+    *        matched against its bucket; also the state horizon.
+    * @param memberCap max members held per bucket (newest win).
+    *        Deliberately NOT cfg.bucketCap: the batch cap bounds n²
+    *        all-pairs emission, whereas here an arrival costs at most
+    *        `memberCap` signature compares (linear), so a much larger
+    *        cap is affordable — and a too-small cap silently loses
+    *        pairs whose earlier member was evicted by unrelated bucket
+    *        traffic before its near-dup arrived (the other `bands - 1`
+    *        band keys are the only redundancy). Size it to the expected
+    *        per-bucket arrivals within one watermark horizon. */
   def nearDupPairsStream(
       spark: SparkSession,
       docs: DataFrame,
       cfg: DedupConfig = DedupConfig.default,
       watermark: String = "1 hour",
-      slack: Double = 0.05): DataFrame = {
+      slack: Double = 0.05,
+      memberCap: Int = 1024): DataFrame = {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     val threshold = cfg.jaccardThreshold - slack
-    val cap = cfg.bucketCap
+    val cap = memberCap
     val keyed = docs
       .withColumn("sig", call_function("graft_minhash_sig", $"doc_text",
         lit(cfg.shingleK), lit(cfg.numHashes), lit(cfg.seed)))

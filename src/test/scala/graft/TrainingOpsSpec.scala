@@ -278,6 +278,19 @@ class TrainingOpsSpec extends SparkSpec {
     assert(top.filter($"rank" < 1 || $"rank" > 3).count() == 0)
   }
 
+  test("semanticDedup dedups past the per-cell member cap (mega-cluster)") {
+    import spark.implicits._
+    // 100 identical vectors in one cell, cap 8: only the member ('b')
+    // side is capped, so every vector still probes and all but the
+    // global-min are dropped with rep = the lowest member
+    val v = Seq.fill(8)(1.0f)
+    val df = (0L until 100L).map(i => (i, v)).toDF("vec_id", "embedding")
+    val out = IvfIndex.semanticDedup(spark, df, threshold = 0.95, nCells = 4, cellCap = 8)
+    assert(out.filter($"is_kept").count() == 1)
+    assert(out.filter(!$"is_kept" && $"rep_id" =!= 0L).count() == 0)
+    assert(out.count() == 100)
+  }
+
   test("semanticDedup drops planted copies (rep = original), keeps originals") {
     import spark.implicits._
     val e = embeddings.select($"vec_id", $"embedding")
