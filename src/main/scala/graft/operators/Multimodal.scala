@@ -175,6 +175,41 @@ object Multimodal {
     }
   }
 
+  /** REAL image resize: decode via javax.imageio, scale with an
+    * explicit nearest-neighbor Graphics2D transform (deterministic —
+    * default interpolation hints may vary by JVM), re-encode PNG.
+    * Non-image kinds and undecodable payloads pass through unchanged
+    * (one bad row must not fail the stage). Narrow mapPartitions, one
+    * headless-decoder init per partition — blobs never shuffle. */
+  def resizeImages(
+      spark: SparkSession,
+      media: Dataset[MediaRow],
+      targetW: Int,
+      targetH: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      ensureHeadless()
+      rows.map { r =>
+        if (r.kind != "image") r
+        else try {
+          val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+          require(src != null, "undecodable image payload")
+          val dst = new java.awt.image.BufferedImage(
+            targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+            g.drawImage(src, 0, 0, targetW, targetH, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream(targetW * targetH * 3 + 128)
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          r.copy(payload = bos.toByteArray, meta_width = targetW, meta_height = targetH)
+        } catch { case _: Exception => r }
+      }
+    }
+  }
+
   /** Exact media dedup over content fingerprints — same
     * first-occurrence-wins shape as turn dedup. */
   def dedupMedia(spark: SparkSession, feats: Dataset[MediaFeatures]): DataFrame = {

@@ -180,6 +180,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(dups.size == 8)
   }
 
+  test("resizeImages: real rescale to target dims, dup structure preserved, non-images untouched") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, 64)
+    val resized = Multimodal.resizeImages(spark, media, 16, 16).cache()
+    // every image payload decodes to exactly 16x16
+    val dims = resized.filter($"kind" === "image").collect().map { r =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      (img.getWidth, img.getHeight, r.meta_width, r.meta_height)
+    }
+    assert(dims.nonEmpty && dims.forall(_ == ((16, 16, 16, 16))))
+    // non-images pass through byte-identical
+    val origBytes = media.filter($"kind" =!= "image").collect()
+      .map(r => r.media_id -> r.payload.toSeq).toMap
+    resized.filter($"kind" =!= "image").collect().foreach { r =>
+      assert(r.payload.toSeq == origBytes(r.media_id))
+    }
+    // resize is deterministic and preserves the planted dup structure:
+    // identical source pixels → identical resized payloads
+    val feats = Multimodal.extractFeatures(spark, resized)
+    val dups = Multimodal.dedupMedia(spark, feats)
+      .filter($"kind" === "image" && !$"is_unique").collect()
+    assert(dups.nonEmpty)
+    dups.foreach(r => assert(r.getAs[Long]("rep_media_id") == r.getAs[Long]("media_id") - 3))
+    resized.unpersist()
+  }
+
   test("keepCorpus keeps lowest doc_id per normalized text with reference counts") {
     import spark.implicits._
     val docs = Seq(
