@@ -439,6 +439,22 @@ object SparkEntry {
         .filter($"cos_x10000" >= 9990)
         .select($"query_id", $"neighbor_id")
     }),
+    // ANN recall audits over the deterministic clustered corpus at
+    // noise = 0: in-cluster vectors are IDENTICAL, so any correct ANN
+    // has recall EXACTLY 1 vs brute-force truth (candidates ⊇ the
+    // cluster, exact re-rank picks the identical tie-broken top-5) —
+    // closed-form oracle. Noisy-corpus recall is asserted in
+    // TrainingOpsSpec (the measured-recall direction).
+    "q_ann_recall_rhp" -> ((s, _) => {
+      val corpus = EmbeddingAudit.clusteredEmbeddings(s, 2000, 32, 40, 0.0)
+      EmbeddingAudit.recallAtK(s, corpus,
+        EmbeddingSim.rhpBucketTopK(s, corpus, k = 5), 5, (0L until 2000L by 97L))
+    }),
+    "q_ann_recall_ivf" -> ((s, _) => {
+      val corpus = EmbeddingAudit.clusteredEmbeddings(s, 2000, 32, 40, 0.0)
+      EmbeddingAudit.recallAtK(s, corpus,
+        IvfIndex.ivfTopK(s, corpus, k = 5), 5, (0L until 2000L by 97L))
+    }),
     // SemDeDup-style semantic dedup, full closed-form oracle: the only
     // cos ≥ 0.95 intra-cell pairs are the planted identical twins, so
     // every original is kept (the twin has the HIGHER id) and every
@@ -655,6 +671,20 @@ object SparkEntry {
         |SELECT vec_id AS query_id, vec_id + 10000000 AS neighbor_id FROM sel
         |UNION ALL
         |SELECT vec_id + 10000000 AS query_id, vec_id AS neighbor_id FROM sel""".stripMargin,
+    "q_ann_recall_rhp" ->
+      """WITH sel AS (SELECT unnest(range(0, 2000)) AS id) , q AS (SELECT id FROM sel WHERE id % 97 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(5 * count(*) AS BIGINT) AS n_truth,
+        |  CAST(5 * count(*) AS BIGINT) AS n_hit,
+        |  CAST(10000 AS BIGINT) AS recall_x10000
+        |FROM q""".stripMargin,
+    "q_ann_recall_ivf" ->
+      """WITH sel AS (SELECT unnest(range(0, 2000)) AS id) , q AS (SELECT id FROM sel WHERE id % 97 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(5 * count(*) AS BIGINT) AS n_truth,
+        |  CAST(5 * count(*) AS BIGINT) AS n_hit,
+        |  CAST(10000 AS BIGINT) AS recall_x10000
+        |FROM q""".stripMargin,
     "q_semantic_dedup" ->
       """WITH sel AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 3)
         |SELECT vec_id, vec_id AS rep_id, true AS is_kept FROM embeddings

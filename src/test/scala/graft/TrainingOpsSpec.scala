@@ -304,6 +304,22 @@ class TrainingOpsSpec extends SparkSpec {
     assert(top.filter($"rank" < 1 || $"rank" > 3).count() == 0)
   }
 
+  test("ANN recall audit: both indexes near-perfect on a noisy clustered corpus") {
+    import spark.implicits._
+    // 1% per-dim noise around 40 cluster centers: truth top-5 are
+    // cluster-mates; the audit measures whether the bucketed indexes
+    // surface them (exact re-rank then reproduces the exact top-5)
+    val corpus = EmbeddingAudit.clusteredEmbeddings(spark, 1000, 32, 40, noise = 0.01)
+    val qids = (0L until 1000L by 53L)
+    for (ann <- Seq(
+        EmbeddingSim.rhpBucketTopK(spark, corpus, k = 5),
+        IvfIndex.ivfTopK(spark, corpus, k = 5))) {
+      val r = EmbeddingAudit.recallAtK(spark, corpus, ann, 5, qids).collect().head
+      assert(r.getAs[Long]("n_queries") == qids.size)
+      assert(r.getAs[Long]("recall_x10000") >= 9500L, r.toString)
+    }
+  }
+
   test("semanticDedup dedups past the per-cell member cap (mega-cluster)") {
     import spark.implicits._
     // 100 identical vectors in one cell, cap 8: only the member ('b')
