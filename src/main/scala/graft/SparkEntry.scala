@@ -85,6 +85,30 @@ object SparkEntry {
       .select(($"vec_id" + 10000000L).as("vec_id"), $"embedding"))
   }
 
+  /** Documents with PLANTED PII spans — the raw documents are pure
+    * lowercase word tokens (no digits or '@'), so PII queries over them
+    * would be all-zero and check nothing. Every doc_id ≡ 3 (mod 10)
+    * gets one email + one phone + one IP appended (deterministic,
+    * SQL-expressible — lockstep with [[piiDocsSql]]); the untouched
+    * rows keep checking the no-false-positive direction. */
+  private def plantedPiiDocuments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    readT(s, dir, "documents").select(
+      $"doc_id",
+      when($"doc_id" % 10 === 3,
+        concat($"text", lit(" contact u"), $"doc_id".cast("string"),
+          lit("@mail.example.org or 555-867-5309 from 10.1.2.9")))
+        .otherwise($"text").as("text"))
+  }
+
+  /** DuckDB rendering of [[plantedPiiDocuments]]. Kept single-line so
+    * embedding it inside another stripMargin'd SQL string can't eat a
+    * line-leading `||` operator's first pipe. */
+  private val piiDocsSql: String =
+    "SELECT doc_id, CASE WHEN doc_id % 10 = 3 THEN text || ' contact u' || " +
+      "CAST(doc_id AS VARCHAR) || '@mail.example.org or 555-867-5309 from 10.1.2.9' " +
+      "ELSE text END AS text FROM documents"
+
   /** ANN contract checker shared by every ANN family (RHP-LSH, IVF),
     * fully DuckDB-oracled (q_restore_equality pattern: Spark computes
     * the violation counts, DuckDB pins their exact expected values).
@@ -375,6 +399,30 @@ object SparkEntry {
         Map("en" -> 200, "zh" -> 500), defaultPermille = 50)
         .select($"doc_id", $"lang")
     }),
+    // train/eval decontamination: bench set = every doc_id ≡ 0
+    // (mod 97) of the SAME corpus (deterministic, SQL-expressible) —
+    // bench docs are their own guaranteed hits; DuckDB recomputes every
+    // doc's distinct-13-gram count and benchmark-hit count from the
+    // gram STRINGS, pinning that the engine's hashed broadcast plan
+    // equals exact-string semantics.
+    "q_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = readT(s, dir, "documents")
+      Decontaminate.contamination(s, docs,
+        docs.filter($"doc_id" % 97 === 0), n = 13)
+    }),
+    // PII counts over the planted-PII corpus (planted rows non-vacuous,
+    // untouched rows assert zero false positives); DuckDB runs the
+    // IDENTICAL RE2-safe regexes.
+    "q_pii" -> ((s, dir) =>
+      TextAnalysis.piiStats(plantedPiiDocuments(s, dir))),
+    // PII redaction: full scrubbed-text row compare (strongest oracle —
+    // every output string must match DuckDB's regexp_replace chain).
+    "q_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      plantedPiiDocuments(s, dir)
+        .select($"doc_id", TextAnalysis.piiScrub($"text").as("scrubbed"))
+    }),
     "q_token_jaccard" -> ((s, dir) => {
       NgramJaccard.pairs(s, readT(s, dir, "documents"),
         "doc_id", "text", n = 1, threshold = 0.5)
@@ -417,6 +465,21 @@ object SparkEntry {
     "q_ivf_ann" -> ((s, dir) =>
       annInvariants(s, plantedEmbeddings(s, dir),
         c => IvfIndex.ivfTopK(s, c, k = 5), k = 5)),
+    // IVF-PQ (IVFADC + exact re-rank) under the same invariant oracle —
+    // the compressed-candidate scale path (members ship m BYTES, not
+    // d floats). A planted twin shares the query's argmin cell AND
+    // argmin codes, so its ADC distance is the global minimum — the
+    // same recall floor binds.
+    "q_pq_ann" -> ((s, dir) =>
+      annInvariants(s, plantedEmbeddings(s, dir),
+        c => IvfIndex.pqTopK(s, c, k = 5), k = 5)),
+    // PQ recall oracle (q_embed_ann_planted twin)
+    "q_pq_planted" -> ((s, dir) => {
+      import s.implicits._
+      IvfIndex.pqTopK(s, plantedEmbeddings(s, dir), k = 5)
+        .filter($"cos_x10000" >= 9990)
+        .select($"query_id", $"neighbor_id")
+    }),
     // ANN recall oracle: plant an EXACT copy (vec_id + 10^7) of every
     // vec_id ≡ 3 (mod 100). Identical vectors share every RHP bucket
     // (same sign bits in all tables), so the detector must emit each
@@ -454,6 +517,15 @@ object SparkEntry {
       val corpus = EmbeddingAudit.clusteredEmbeddings(s, 2000, 32, 40, 0.0)
       EmbeddingAudit.recallAtK(s, corpus,
         IvfIndex.ivfTopK(s, corpus, k = 5), 5, (0L until 2000L by 97L))
+    }),
+    // PQ at noise = 0: in-cluster vectors are identical ⇒ identical
+    // codes ⇒ tied minimal ADC; the (adc, vec_id) tie-break keeps the
+    // lowest ids — exactly the brute-force truth's tie order — so
+    // recall is EXACTLY 1 (rerank = 64 ≥ the 50-member cluster size).
+    "q_ann_recall_pq" -> ((s, _) => {
+      val corpus = EmbeddingAudit.clusteredEmbeddings(s, 2000, 32, 40, 0.0)
+      EmbeddingAudit.recallAtK(s, corpus,
+        IvfIndex.pqTopK(s, corpus, k = 5), 5, (0L until 2000L by 97L))
     }),
     // SemDeDup-style semantic dedup, full closed-form oracle: the only
     // cos ≥ 0.95 intra-cell pairs are the planted identical twins, so
@@ -671,6 +743,26 @@ object SparkEntry {
         |SELECT vec_id AS query_id, vec_id + 10000000 AS neighbor_id FROM sel
         |UNION ALL
         |SELECT vec_id + 10000000 AS query_id, vec_id AS neighbor_id FROM sel""".stripMargin,
+    "q_pq_ann" ->
+      """WITH sel AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 3)
+        |SELECT CAST(2 * (SELECT count(*) FROM sel) AS BIGINT) AS n_planted,
+        |  CAST(2 * (SELECT count(*) FROM sel) AS BIGINT) AS planted_found_rank1,
+        |  CAST(0 AS BIGINT) AS cos_mismatches,
+        |  CAST(0 AS BIGINT) AS rank_violations,
+        |  CAST(0 AS BIGINT) AS self_pairs,
+        |  CAST(0 AS BIGINT) AS dup_pairs""".stripMargin,
+    "q_pq_planted" ->
+      """WITH sel AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 3)
+        |SELECT vec_id AS query_id, vec_id + 10000000 AS neighbor_id FROM sel
+        |UNION ALL
+        |SELECT vec_id + 10000000 AS query_id, vec_id AS neighbor_id FROM sel""".stripMargin,
+    "q_ann_recall_pq" ->
+      """WITH sel AS (SELECT unnest(range(0, 2000)) AS id) , q AS (SELECT id FROM sel WHERE id % 97 = 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(5 * count(*) AS BIGINT) AS n_truth,
+        |  CAST(5 * count(*) AS BIGINT) AS n_hit,
+        |  CAST(10000 AS BIGINT) AS recall_x10000
+        |FROM q""".stripMargin,
     "q_ann_recall_rhp" ->
       """WITH sel AS (SELECT unnest(range(0, 2000)) AS id) , q AS (SELECT id FROM sel WHERE id % 97 = 0)
         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
@@ -790,6 +882,51 @@ object SparkEntry {
     "q_lang_dist" ->
       s"""SELECT $langIdSql AS pred_lang, count(*) AS n
          |FROM documents GROUP BY 1""".stripMargin,
+    // full recompute from the gram STRINGS (the engine joins 128-bit
+    // gram hashes; equality here pins hashed = exact semantics)
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(
+        |    regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 11),
+        |      i -> array_to_string(toks[i:i+12], ' ')))) AS gram
+        |  FROM t WHERE len(toks) >= 13),
+        |sizes AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |hits AS (SELECT g.doc_id, count(*) AS n_hits
+        |         FROM g JOIN bg USING (gram) GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(sizes.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(hits.n_hits, 0) > 0 AS contaminated
+        |FROM t LEFT JOIN sizes USING (doc_id) LEFT JOIN hits USING (doc_id)""".stripMargin,
+    "q_pii" -> {
+      val pii = TextAnalysis.piiPatterns.toMap
+      val (email, ip, phone) = (pii("email"), pii("ip"), pii("phone"))
+      s"""WITH d AS ($piiDocsSql)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+         |  (len(regexp_extract_all(text, '$email')) > 0
+         |   OR len(regexp_extract_all(text, '$ip')) > 0
+         |   OR len(regexp_extract_all(text, '$phone')) > 0) AS has_pii
+         |FROM d""".stripMargin
+    },
+    "q_pii_scrub" -> {
+      val pii = TextAnalysis.piiPatterns.toMap
+      val (email, ip, phone) = (pii("email"), pii("ip"), pii("phone"))
+      s"""WITH d AS ($piiDocsSql)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS scrubbed
+         |FROM d""".stripMargin
+    },
     "q_token_jaccard" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(

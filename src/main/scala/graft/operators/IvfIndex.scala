@@ -50,8 +50,19 @@ object IvfIndex {
       seed: Long = 42L,
       sampleN: Int = 4096,
       iters: Int = 8): Array[Array[Double]] = {
+    val sample = driverSample(spark, corpus, seed, sampleN)
+    require(sample.nonEmpty, "fitCentroids: empty corpus")
+    lloyd(sample, nCells, iters)
+  }
+
+  /** The `sampleN` corpus vectors minimizing xxhash64(vec_id ^ seed) —
+    * a seeded but data-independent choice; TakeOrdered (per-partition
+    * top-N then merge), never a full sort. */
+  private def driverSample(
+      spark: SparkSession, corpus: DataFrame,
+      seed: Long, sampleN: Int): Array[Array[Double]] = {
     import spark.implicits._
-    val sample: Array[Array[Double]] = corpus
+    corpus
       .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
       .orderBy(xxhash64($"vec_id", lit(seed)), $"vec_id")
       .limit(sampleN)
@@ -59,14 +70,18 @@ object IvfIndex {
       .as[Seq[Double]]
       .collect()
       .map(_.toArray)
-    require(sample.nonEmpty, "fitCentroids: empty corpus")
+  }
 
-    // init: first nCells content-distinct sample vectors (duplicate
-    // contents would yield coincident centroids and dead cells)
+  /** Deterministic Lloyd rounds on a driver sample: init = first `k`
+    * content-distinct sample vectors (duplicate contents would yield
+    * coincident centroids and dead cells), empty cells keep their
+    * previous centroid. */
+  private def lloyd(
+      sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
     var i = 0
-    while (i < sample.length && init.length < nCells) {
+    while (i < sample.length && init.length < k) {
       val v = sample(i)
       if (seen.add(v.toSeq)) init += v.clone()
       i += 1
@@ -75,10 +90,10 @@ object IvfIndex {
 
     var it = 0
     while (it < iters) {
-      val k = cents.length
+      val kk = cents.length
       val dim = cents(0).length
-      val sums = Array.ofDim[Double](k, dim)
-      val counts = new Array[Long](k)
+      val sums = Array.ofDim[Double](kk, dim)
+      val counts = new Array[Long](kk)
       var s = 0
       while (s < sample.length) {
         val v = sample(s)
@@ -91,7 +106,7 @@ object IvfIndex {
         counts(c) += 1
         s += 1
       }
-      cents = Array.tabulate(k) { c =>
+      cents = Array.tabulate(kk) { c =>
         if (counts(c) == 0) cents(c)
         else {
           val m = new Array[Double](dim)
@@ -302,5 +317,216 @@ object IvfIndex {
       .select($"vec_id",
         coalesce($"dup_of", $"vec_id").as("rep_id"),
         $"dup_of".isNull.as("is_kept"))
+  }
+
+  // ------------- product quantization (IVFADC + re-rank) -------------
+
+  /** PQ codebooks: `m` independent per-subspace Lloyd quantizers
+    * (Jégou/Douze/Schmid 2011, "Product Quantization for Nearest
+    * Neighbor Search" — the IVFADC family). `codebooks(s)(code)` is a
+    * dsub-dim sub-centroid with dsub = ceil(dim/m); the last subspace
+    * covers the remainder, and short vectors contribute zero-padded
+    * prefixes (the mixed-dim convention the rest of the file uses).
+    * Fit on the same hash-selected driver sample as the coarse
+    * quantizer — the model is m·ksub·dsub doubles (≈128 KB at m=8,
+    * ksub=256, d=64), broadcast-sized by construction. */
+  def fitPqCodebooks(
+      spark: SparkSession,
+      corpus: DataFrame,
+      m: Int,
+      ksub: Int = 256,
+      seed: Long = 42L,
+      sampleN: Int = 4096,
+      iters: Int = 8): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1 && ksub <= 256, "fitPqCodebooks: need 1 <= ksub <= 256 (codes are byte-packed)")
+    val sample = driverSample(spark, corpus, seed, sampleN)
+    require(sample.nonEmpty, "fitPqCodebooks: empty corpus")
+    val dim = sample.iterator.map(_.length).max
+    val dsub = (dim + m - 1) / m
+    Array.tabulate(m) { s =>
+      val lo = s * dsub
+      val hi = math.min(lo + dsub, dim)
+      val sub = sample.map { v =>
+        Array.tabulate(math.max(hi - lo, 1))(d =>
+          if (lo + d < v.length && lo + d < hi) v(lo + d) else 0.0)
+      }
+      lloyd(sub, ksub, iters)
+    }
+  }
+
+  /** PQ code of one vector: per-subspace L2-argmin sub-centroid, ties
+    * to the lowest code (identical vectors ⇒ identical codes — the
+    * recall-floor contract). One byte per subspace. */
+  private def pqEncodeVec(
+      v: Array[Double], books: Array[Array[Array[Double]]], dsub: Int): Array[Byte] = {
+    val m = books.length
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val book = books(s)
+      val lo = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < book.length) {
+        val cent = book(c)
+        var d2 = 0.0
+        var d = 0
+        while (d < cent.length) {
+          val x = if (lo + d < v.length) v(lo + d) else 0.0
+          val diff = x - cent(d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD) { bestD = d2; best = c }
+        c += 1
+      }
+      out(s) = best.toByte
+      s += 1
+    }
+    out
+  }
+
+  /** IVF-PQ ANN top-k (IVFADC + exact re-rank): coarse-probe `nProbe`
+    * cells per query, score candidates by ASYMMETRIC-distance (query
+    * sub-vector → candidate's sub-centroid, via the candidate's m-byte
+    * PQ code), keep the `rerank` best per query, exact-cosine re-rank
+    * those to top-k. Output schema matches [[ivfTopK]] /
+    * [[EmbeddingSim.rhpBucketTopK]].
+    *
+    * Why this exists at 100 TB: [[ivfTopK]]'s candidate join ships the
+    * full embedding of every cell member to every probing query —
+    * d·4 B each (256 B at d=64). Here the member side carries m BYTES
+    * (32× smaller at m=8), the ADC pass needs only those codes plus
+    * ONE copy of each query's embedding, and the full-width vectors are
+    * fetched just for the `rerank` survivors — the standard IVFADC
+    * memory/bandwidth story, which is exactly what binds when the
+    * vector table no longer fits executor RAM.
+    *
+    * Plan shape: the candidate stream is repartitioned on query_id and
+    * sorted within partitions, then ONE streaming pass scores each
+    * query group — the per-query subspace distance table (m·ksub
+    * entries) fills LAZILY (only codes actually seen pay the fill), so
+    * small groups cost ~m adds/candidate and big groups amortize to
+    * table lookups. Bounded top-`rerank` heap per group; tie-break on
+    * (adc, vec_id) so identical-code candidates keep the LOWEST ids —
+    * aligned with the brute-force truth's own tie order (recall-audit
+    * contract at noise = 0).
+    *
+    * Recall floor (what the planted oracle pins): an identical twin
+    * shares the query's argmin cell AND argmin codes, so its ADC
+    * distance is the global minimum over all code vectors — it cannot
+    * be displaced except by equal-code ties, which the vec_id
+    * tie-break admits before any farther candidate. */
+  def pqTopK(
+      spark: SparkSession,
+      corpus: DataFrame,
+      k: Int = 10,
+      m: Int = 8,
+      ksub: Int = 256,
+      nCells: Int = 0,
+      nProbe: Int = 2,
+      seed: Long = 42L,
+      cellCap: Int = 4096,
+      rerank: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(rerank >= k, "pqTopK: rerank must be >= k")
+    val cells = autoCells(corpus, nCells)
+    val cents = fitCentroids(spark, corpus, cells, seed,
+      sampleN = math.max(4096, 8 * cells))
+    val books = fitPqCodebooks(spark, corpus, m, ksub, seed)
+    val bcBooks = spark.sparkContext.broadcast(books)
+
+    // narrow encode pass: (vec_id, m-byte code) — the only per-vector
+    // state the candidate side ever ships
+    val codes = corpus.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val bk = bcBooks.value
+        val ds = bk(0)(0).length // subspace 0 is always full-width
+        rows.map { case (id, v) =>
+          val vd = new Array[Double](v.length)
+          var d = 0
+          while (d < v.length) { vd(d) = v(d); d += 1 }
+          (id, pqEncodeVec(vd, bk, ds))
+        }
+      }
+      .toDF("vec_id", "codes")
+
+    val keys = probeKeys(spark, corpus, cents, nProbe)
+    val members = EmbeddingSim.capSortedByKey(spark,
+      keys.filter($"probe_rank" === 0).select($"cell".as("bucket"), $"vec_id"), cellCap)
+      .withColumnsRenamed(Map("bucket" -> "cell"))
+      .join(codes, Seq("vec_id"))
+    val qEmb = corpus.select($"vec_id".as("query_id"),
+      $"embedding".cast("array<double>").as("q_emb"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val cands = keys.select($"cell", $"vec_id".as("query_id"))
+      .join(members, Seq("cell"))
+      .filter($"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id", $"codes")
+      .distinct() // multi-probe may hit the same member through 2 cells
+      .join(qEmb, Seq("query_id"))
+
+    val adcTop = cands
+      .repartition(parts, $"query_id")
+      .sortWithinPartitions($"query_id", $"vec_id")
+      .as[(Long, Long, Array[Byte], Seq[Double])]
+      .mapPartitions { it =>
+        val bk = bcBooks.value
+        val mm = bk.length
+        val ds = bk(0)(0).length // subspace 0 is always full-width
+        val buf = it.buffered
+        new Iterator[(Long, Long)] {
+          private var pending: Iterator[(Long, Long)] = Iterator.empty
+          def hasNext: Boolean = {
+            while (!pending.hasNext && buf.hasNext) pending = group()
+            pending.hasNext
+          }
+          def next(): (Long, Long) = pending.next()
+          private def group(): Iterator[(Long, Long)] = {
+            val qid = buf.head._1
+            val qv = buf.head._4.toArray
+            // lazy ADC table: tbl(s)(c) = ||q_sub(s) - book(s)(c)||²,
+            // filled on first reference (d2 >= 0, so -1 is a safe hole)
+            val tbl = Array.tabulate(mm)(s => Array.fill(bk(s).length)(-1.0))
+            // bounded worst-first heap of (adc, vec_id), size <= rerank
+            val heap = scala.collection.mutable.PriorityQueue
+              .empty[(Double, Long)](Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))
+            while (buf.hasNext && buf.head._1 == qid) {
+              val (_, vid, code, _) = buf.next()
+              var adc = 0.0
+              var s = 0
+              while (s < mm) {
+                val c = code(s) & 0xFF
+                var e = tbl(s)(c)
+                if (e < 0) {
+                  val cent = bk(s)(c)
+                  val lo = s * ds
+                  var d2 = 0.0
+                  var d = 0
+                  while (d < cent.length) {
+                    val x = if (lo + d < qv.length) qv(lo + d) else 0.0
+                    val diff = x - cent(d)
+                    d2 += diff * diff
+                    d += 1
+                  }
+                  tbl(s)(c) = d2
+                  e = d2
+                }
+                adc += e
+                s += 1
+              }
+              if (heap.size < rerank) heap.enqueue((adc, vid))
+              else if (Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+                  .lt((adc, vid), heap.head)) {
+                heap.dequeue(); heap.enqueue((adc, vid))
+              }
+            }
+            heap.iterator.map(t => (qid, t._2)).toArray.iterator
+          }
+        }
+      }
+      .toDF("query_id", "vec_id")
+    EmbeddingSim.rerankTopK(spark, corpus, adcTop, k)
   }
 }

@@ -178,4 +178,36 @@ object TextAnalysis {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_refs"))
       .select(col("doc_id"), col("n_refs"))
   }
+
+  /** PII patterns (C4-style scrub list, Raffel et al. 2020 §2.2 family):
+    * RE2-compatible — no lookaround, ASCII classes — so the DuckDB
+    * oracle evaluates the IDENTICAL regex. Both engines find the same
+    * leftmost non-overlapping matches. Ordered so scrubbing is
+    * composition-safe: emails first (their user part may contain
+    * digits), then IPs (dotted digits) before bare phone runs. */
+  private[graft] val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+",
+    "ip" -> "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}",
+    "phone" -> "[0-9]{3}-[0-9]{3}-[0-9]{4}")
+
+  /** Per-doc PII occurrence counts (n_emails, n_ips, n_phones, has_pii)
+    * — narrow per-row regexp_count exprs, scan speed, no shuffle. */
+  def piiStats(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val counts = piiPatterns.map { case (name, pat) =>
+      coalesce(regexp_count(col(textCol), lit(pat)), lit(0)).cast("bigint")
+        .as(s"n_${name}s")
+    }
+    df.select(col(idCol).as("doc_id") +: counts: _*)
+      .withColumn("has_pii",
+        piiPatterns.map(p => col(s"n_${p._1}s") > 0).reduce(_ || _))
+  }
+
+  /** PII redaction: each pattern family replaced by its sentinel
+    * (`<EMAIL>`/`<IP>`/`<PHONE>`), applied in [[piiPatterns]] order.
+    * Pure per-row transform — the 100 TB shape is a rewrite riding the
+    * existing corpus scan/write, no extra pass. */
+  def piiScrub(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (name, pat)) =>
+      regexp_replace(acc, pat, s"<${name.toUpperCase}>")
+    }
 }

@@ -313,11 +313,41 @@ class TrainingOpsSpec extends SparkSpec {
     val qids = (0L until 1000L by 53L)
     for (ann <- Seq(
         EmbeddingSim.rhpBucketTopK(spark, corpus, k = 5),
-        IvfIndex.ivfTopK(spark, corpus, k = 5))) {
+        IvfIndex.ivfTopK(spark, corpus, k = 5),
+        IvfIndex.pqTopK(spark, corpus, k = 5))) {
       val r = EmbeddingAudit.recallAtK(spark, corpus, ann, 5, qids).collect().head
       assert(r.getAs[Long]("n_queries") == qids.size)
       assert(r.getAs[Long]("recall_x10000") >= 9500L, r.toString)
     }
+  }
+
+  test("pqTopK finds planted identical twins at rank 1, cos = 1, both directions") {
+    import spark.implicits._
+    val e = embeddings.select($"vec_id", $"embedding")
+    val twins = e.filter($"vec_id" % 100 === 3)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val out = IvfIndex.pqTopK(spark, e.unionByName(twins), k = 5)
+    val found = out.filter($"cos_x10000" >= 9990)
+      .select($"query_id", $"neighbor_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sel = e.filter($"vec_id" % 100 === 3).select($"vec_id").as[Long].collect()
+    assert(sel.nonEmpty)
+    val expected = sel.flatMap(i =>
+      Seq((i, i + 1000000L, 1), (i + 1000000L, i, 1))).toSet
+    assert(found == expected, s"missing=${expected -- found} extra=${found -- expected}")
+  }
+
+  test("PQ codebooks: m subspaces of ceil(dim/m) width, byte-safe code range, deterministic encode") {
+    import spark.implicits._
+    val books = IvfIndex.fitPqCodebooks(spark, embeddings, m = 8, ksub = 16)
+    assert(books.length == 8)
+    val dim = embeddings.select(size($"embedding")).as[Int].head()
+    assert(books(0)(0).length == (dim + 7) / 8)
+    assert(books.forall(_.length <= 16))
+    // the fit is a pure function of (corpus, seed)
+    val again = IvfIndex.fitPqCodebooks(spark, embeddings, m = 8, ksub = 16)
+    assert(books.zip(again).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
   }
 
   test("semanticDedup dedups past the per-cell member cap (mega-cluster)") {
@@ -348,5 +378,68 @@ class TrainingOpsSpec extends SparkSpec {
     val copies = out.filter($"vec_id" >= 1000000L)
     assert(copies.count() > 0)
     assert(copies.filter($"is_kept" || $"rep_id" =!= $"vec_id" - 1000000L).count() == 0)
+  }
+
+  test("decontamination flags exactly the docs sharing a bench n-gram") {
+    import spark.implicits._
+    val w = (1 to 20).map(i => s"w$i").mkString(" ")           // 20 tokens
+    val train = Seq(
+      (0L, s"$w tail tokens here"),                            // contains bench doc 100's grams
+      (1L, "short doc"),                                       // < n tokens → 0 grams
+      (2L, (21 to 45).map(i => s"v$i").mkString(" ")),         // disjoint vocab
+      (3L, s"prefix stuff $w"),                                // contains the bench grams too
+      (100L, w)).toDF("doc_id", "text")                        // the bench doc itself
+    val bench = train.filter($"doc_id" === 100L)
+    val out = Decontaminate.contamination(spark, train, bench, n = 13)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 100L))            // every doc reported once
+    assert(out(1L) == ((0L, 0L, false)))                       // gram-less doc present, clean
+    assert(out(2L)._3 == false && out(2L)._1 == 25 - 12)       // disjoint: right gram count, clean
+    assert(out(100L)._1 == 20 - 12 && out(100L)._2 == 20 - 12 && out(100L)._3) // self-hit on all grams
+    assert(out(0L)._3 && out(3L)._3)                           // supersets flagged
+    assert(out(0L)._2 == 20 - 12 && out(3L)._2 == 20 - 12)     // hits = exactly the shared grams
+  }
+
+  test("decontamination normalizes case and whitespace before gram matching") {
+    import spark.implicits._
+    val w = (1 to 13).map(i => s"W$i").mkString("  ")          // mixed case, double spaces
+    val train = Seq((0L, w.toLowerCase), (1L, "unrelated words only")).toDF("doc_id", "text")
+    val bench = Seq((9L, s"  $w  ")).toDF("doc_id", "text")
+    val out = Decontaminate.contamination(spark, train, bench, n = 13)
+      .filter($"contaminated").select($"doc_id").as[Long].collect().toSeq
+    assert(out == Seq(0L))
+  }
+
+  test("decontamination plan: broadcast join, no cartesian, text never shuffles") {
+    import spark.implicits._
+    val plan = Decontaminate.contamination(spark, documents,
+      documents.filter($"doc_id" % 97 === 0)).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("piiStats counts and piiScrub redacts each pattern family") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "mail me at a.b-c%d@sub.example.co or x@y.io thanks"),
+      (1L, "server 192.168.0.1 and 10.0.0.255 up"),
+      (2L, "call 555-867-5309 now"),
+      (3L, "clean text with no personal data"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val stats = TextAnalysis.piiStats(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(stats(0L) == ((2L, 0L, 0L, true)))
+    assert(stats(1L) == ((0L, 2L, 0L, true)))
+    assert(stats(2L) == ((0L, 0L, 1L, true)))
+    assert(stats(3L) == ((0L, 0L, 0L, false)))
+    assert(stats(4L) == ((0L, 0L, 0L, false)))                 // NULL text ≡ clean
+    val scrubbed = df.filter($"text".isNotNull)
+      .select($"doc_id", TextAnalysis.piiScrub($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(scrubbed(0L) == "mail me at <EMAIL> or <EMAIL> thanks")
+    assert(scrubbed(1L) == "server <IP> and <IP> up")
+    assert(scrubbed(2L) == "call <PHONE> now")
+    assert(scrubbed(3L) == "clean text with no personal data")
   }
 }
