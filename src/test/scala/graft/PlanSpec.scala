@@ -88,6 +88,7 @@ class PlanSpec extends SparkSpec {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     for (df <- Seq(
         IvfIndex.ivfTopK(spark, emb, k = 3, nCells = 8),
+        IvfIndex.pqTopK(spark, emb, k = 3, nCells = 8),
         IvfIndex.semanticDedup(spark, emb, threshold = 0.95, nCells = 8))) {
       val plan = executed(df)
       assert(!plan.contains("CartesianProduct"), "cartesian in IVF path")
