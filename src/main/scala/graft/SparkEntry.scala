@@ -883,11 +883,13 @@ object SparkEntry {
       s"""SELECT $langIdSql AS pred_lang, count(*) AS n
          |FROM documents GROUP BY 1""".stripMargin,
     // full recompute from the gram STRINGS (the engine joins 128-bit
-    // gram hashes; equality here pins hashed = exact semantics)
+    // gram hashes; equality here pins hashed = exact semantics).
+    // \s+ before trim: the engine tokenizer splits on ANY whitespace
+    // (Hashing.tokenHashes), not just ASCII spaces
     "q_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(
-        |    regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
         |  FROM documents),
         |g AS (
         |  SELECT doc_id, unnest(list_distinct(
@@ -906,14 +908,16 @@ object SparkEntry {
     "q_pii" -> {
       val pii = TextAnalysis.piiPatterns.toMap
       val (email, ip, phone) = (pii("email"), pii("ip"), pii("phone"))
+      // coalesce: NULL text ≡ clean, matching piiStats (len(regexp_
+      // extract_all(NULL, ..)) is NULL in DuckDB, not 0)
       s"""WITH d AS ($piiDocsSql)
          |SELECT doc_id,
-         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
-         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
-         |  (len(regexp_extract_all(text, '$email')) > 0
-         |   OR len(regexp_extract_all(text, '$ip')) > 0
-         |   OR len(regexp_extract_all(text, '$phone')) > 0) AS has_pii
+         |  CAST(coalesce(len(regexp_extract_all(text, '$email')), 0) AS BIGINT) AS n_emails,
+         |  CAST(coalesce(len(regexp_extract_all(text, '$ip')), 0) AS BIGINT) AS n_ips,
+         |  CAST(coalesce(len(regexp_extract_all(text, '$phone')), 0) AS BIGINT) AS n_phones,
+         |  (coalesce(len(regexp_extract_all(text, '$email')), 0) > 0
+         |   OR coalesce(len(regexp_extract_all(text, '$ip')), 0) > 0
+         |   OR coalesce(len(regexp_extract_all(text, '$phone')), 0) > 0) AS has_pii
          |FROM d""".stripMargin
     },
     "q_pii_scrub" -> {

@@ -59,8 +59,7 @@ object Decontaminate {
       .groupBy($"doc_id")
       .agg(
         count($"gfp").as("n_grams"),
-        coalesce(sum(when($"hit".isNotNull, 1L).otherwise(0L)), lit(0L))
-          .as("n_hits"))
+        count($"hit").as("n_hits"))
       .select($"doc_id", $"n_grams", $"n_hits",
         ($"n_hits" > 0).as("contaminated"))
   }

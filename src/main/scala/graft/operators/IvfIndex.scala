@@ -225,20 +225,38 @@ object IvfIndex {
       nProbe: Int = 2,
       seed: Long = 42L,
       cellCap: Int = 4096): DataFrame = {
-    import spark.implicits._
     val cells = autoCells(corpus, nCells)
     val cents = fitCentroids(spark, corpus, cells, seed,
       sampleN = math.max(4096, 8 * cells))
+    val cands = ivfCandidates(spark, corpus, cents, nProbe, cellCap, None)
+    EmbeddingSim.rerankTopK(spark, corpus, cands, k)
+  }
+
+  /** Shared IVF candidate generation (ivfTopK and pqTopK): nProbe keys
+    * from ONE distance pass, rank-0 capped cell members (optionally
+    * decorated with per-member columns, e.g. PQ codes — joined on the
+    * SMALL capped member list, never the candidate stream), self
+    * excluded, distinct (query_id, vec_id [, extras]). */
+  private def ivfCandidates(
+      spark: SparkSession,
+      corpus: DataFrame,
+      cents: Array[Array[Double]],
+      nProbe: Int,
+      cellCap: Int,
+      memberExtra: Option[DataFrame]): DataFrame = {
+    import spark.implicits._
     val keys = probeKeys(spark, corpus, cents, nProbe)
-    val members = EmbeddingSim.capSortedByKey(spark,
+    val members0 = EmbeddingSim.capSortedByKey(spark,
       keys.filter($"probe_rank" === 0).select($"cell".as("bucket"), $"vec_id"), cellCap)
       .withColumnsRenamed(Map("bucket" -> "cell"))
-    val cands = keys.select($"cell", $"vec_id".as("query_id"))
+    val members = memberExtra.fold(members0)(x => members0.join(x, Seq("vec_id")))
+    val extraCols = memberExtra.toSeq
+      .flatMap(_.columns.filterNot(_ == "vec_id")).map(col)
+    keys.select($"cell", $"vec_id".as("query_id"))
       .join(members, Seq("cell"))
       .filter($"query_id" =!= $"vec_id")
-      .select($"query_id", $"vec_id")
-      .distinct()
-    EmbeddingSim.rerankTopK(spark, corpus, cands, k)
+      .select(($"query_id" +: $"vec_id" +: extraCols): _*)
+      .distinct() // multi-probe may hit the same member through 2 cells
   }
 
   /** (cell, vec_id, probe_rank 0..nProbe-1) keys, hash-partitioned on
@@ -338,8 +356,18 @@ object IvfIndex {
       seed: Long = 42L,
       sampleN: Int = 4096,
       iters: Int = 8): Array[Array[Array[Double]]] = {
-    require(m >= 1 && ksub >= 1 && ksub <= 256, "fitPqCodebooks: need 1 <= ksub <= 256 (codes are byte-packed)")
     val sample = driverSample(spark, corpus, seed, sampleN)
+    fitPqFromSample(sample, m, ksub, iters)
+  }
+
+  /** [[fitPqCodebooks]] body over an already-collected sample — lets
+    * [[pqTopK]] fit coarse + PQ quantizers from ONE corpus sample pass
+    * (both samples order by the identical hash, so a prefix slice of
+    * the coarse sample IS the PQ sample). */
+  private def fitPqFromSample(
+      sample: Array[Array[Double]], m: Int, ksub: Int,
+      iters: Int): Array[Array[Array[Double]]] = {
+    require(m >= 1 && ksub >= 1 && ksub <= 256, "fitPqCodebooks: need 1 <= ksub <= 256 (codes are byte-packed)")
     require(sample.nonEmpty, "fitPqCodebooks: empty corpus")
     val dim = sample.iterator.map(_.length).max
     val dsub = (dim + m - 1) / m
@@ -432,9 +460,13 @@ object IvfIndex {
     import spark.implicits._
     require(rerank >= k, "pqTopK: rerank must be >= k")
     val cells = autoCells(corpus, nCells)
-    val cents = fitCentroids(spark, corpus, cells, seed,
-      sampleN = math.max(4096, 8 * cells))
-    val books = fitPqCodebooks(spark, corpus, m, ksub, seed)
+    // ONE corpus sample pass trains both quantizers (coarse on the full
+    // sample, PQ on its 4096-prefix — identical to fitPqCodebooks'
+    // default, since both samples order by the same hash)
+    val sample = driverSample(spark, corpus, seed, math.max(4096, 8 * cells))
+    require(sample.nonEmpty, "pqTopK: empty corpus")
+    val cents = lloyd(sample, cells, iters = 8)
+    val books = fitPqFromSample(sample.take(4096), m, ksub, iters = 8)
     val bcBooks = spark.sparkContext.broadcast(books)
 
     // narrow encode pass: (vec_id, m-byte code) — the only per-vector
@@ -452,19 +484,10 @@ object IvfIndex {
       }
       .toDF("vec_id", "codes")
 
-    val keys = probeKeys(spark, corpus, cents, nProbe)
-    val members = EmbeddingSim.capSortedByKey(spark,
-      keys.filter($"probe_rank" === 0).select($"cell".as("bucket"), $"vec_id"), cellCap)
-      .withColumnsRenamed(Map("bucket" -> "cell"))
-      .join(codes, Seq("vec_id"))
     val qEmb = corpus.select($"vec_id".as("query_id"),
       $"embedding".cast("array<double>").as("q_emb"))
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val cands = keys.select($"cell", $"vec_id".as("query_id"))
-      .join(members, Seq("cell"))
-      .filter($"query_id" =!= $"vec_id")
-      .select($"query_id", $"vec_id", $"codes")
-      .distinct() // multi-probe may hit the same member through 2 cells
+    val cands = ivfCandidates(spark, corpus, cents, nProbe, cellCap, Some(codes))
       .join(qEmb, Seq("query_id"))
 
     val adcTop = cands
