@@ -101,6 +101,18 @@ object SparkEntry {
         .otherwise($"text").as("text"))
   }
 
+  /** Curation corpus: the planted-PII docs plus EXACT duplicate copies
+    * (doc_id + 10^6) of every doc_id ≡ 1 (mod 25) — gives q_curate a
+    * mix of verdicts: copies fail is_canonical, planted-PII rows fail
+    * pii_ok, bench docs fail decon_ok, short docs fail the quality
+    * floor, repetitive small-vocabulary docs fail rep_ok. */
+  private def plantedCurationDocuments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = plantedPiiDocuments(s, dir)
+    base.unionByName(base.filter($"doc_id" % 25 === 1)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+  }
+
   /** DuckDB rendering of [[plantedPiiDocuments]]. Kept single-line so
     * embedding it inside another stripMargin'd SQL string can't eat a
     * line-leading `||` operator's first pipe. */
@@ -422,6 +434,14 @@ object SparkEntry {
       import s.implicits._
       plantedPiiDocuments(s, dir)
         .select($"doc_id", TextAnalysis.piiScrub($"text").as("scrubbed"))
+    }),
+    // end-to-end curation verdict over the planted curation corpus —
+    // every axis exercised (see plantedCurationDocuments), every axis
+    // recomputed by the oracle from scratch
+    "q_curate" -> ((s, dir) => {
+      import s.implicits._
+      val d = plantedCurationDocuments(s, dir)
+      Curate.report(s, d, d.filter($"doc_id" % 97 === 0))
     }),
     "q_token_jaccard" -> ((s, dir) => {
       NgramJaccard.pairs(s, readT(s, dir, "documents"),
@@ -919,6 +939,78 @@ object SparkEntry {
          |   OR coalesce(len(regexp_extract_all(text, '$ip')), 0) > 0
          |   OR coalesce(len(regexp_extract_all(text, '$phone')), 0) > 0) AS has_pii
          |FROM d""".stripMargin
+    },
+    // per-axis recompute of the whole curation verdict (repetition,
+    // PII, quality, first-writer dedup, 13-gram decon — each CTE is the
+    // corresponding single-axis oracle adapted to the curation corpus)
+    "q_curate" -> {
+      val pii = TextAnalysis.piiPatterns.toMap
+      val (email, ip, phone) = (pii("email"), pii("ip"), pii("phone"))
+      s"""WITH base AS ($piiDocsSql),
+         |d AS (SELECT * FROM base UNION ALL
+         |      SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 25 = 1),
+         |t AS (SELECT doc_id,
+         |    string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks,
+         |    length(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS nlen
+         |  FROM d),
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t WHERE nlen > 0),
+         |freq AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(c) AS topc, sum(c) AS nt, count(*) AS nd FROM freq GROUP BY 1),
+         |gr AS (SELECT doc_id, len(gl) AS ng, len(list_distinct(gl)) AS ngd
+         |      FROM (SELECT doc_id,
+         |              list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS gl
+         |            FROM t WHERE nlen > 0 AND len(toks) >= 2)),
+         |rep AS (SELECT t.doc_id,
+         |    ((CASE WHEN coalesce(top.nt, 0) = 0 THEN 0
+         |       ELSE floor(10000.0 * (top.nt - top.nd) / top.nt) END) <= 3000
+         |     AND (CASE WHEN coalesce(top.nt, 0) = 0 THEN 0
+         |       ELSE floor(10000.0 * top.topc / top.nt) END) <= 2500
+         |     AND (CASE WHEN coalesce(gr.ng, 0) = 0 THEN 0
+         |       ELSE floor(10000.0 * (gr.ng - gr.ngd) / gr.ng) END) <= 2000) AS rep_ok
+         |  FROM t LEFT JOIN top USING (doc_id) LEFT JOIN gr USING (doc_id)),
+         |pii AS (SELECT doc_id,
+         |    (coalesce(len(regexp_extract_all(text, '$email')), 0) = 0
+         |     AND coalesce(len(regexp_extract_all(text, '$ip')), 0) = 0
+         |     AND coalesce(len(regexp_extract_all(text, '$phone')), 0) = 0) AS pii_ok
+         |  FROM d),
+         |qf AS (SELECT doc_id,
+         |    CAST($tokenCountSql AS BIGINT) AS n_tokens,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         |    length(text) AS len,
+         |    length(regexp_replace(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', '', 'g')) AS nonsp
+         |  FROM d),
+         |qual AS (SELECT doc_id,
+         |    (least(n_tokens, 100) // 2
+         |     + (CASE WHEN (CASE WHEN n_tokens = 0 THEN 0 ELSE floor(10000.0 * nonsp / n_tokens) END)
+         |            BETWEEN 30000 AND 90000 THEN 30 ELSE 0 END)
+         |     + (CASE WHEN (CASE WHEN len = 0 THEN 0 ELSE floor(10000.0 * n_punct / len) END)
+         |            <= 1500 THEN 20 ELSE 0 END)) >= 60 AS quality_ok
+         |  FROM qf),
+         |canon AS (SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM d)
+         |  GROUP BY ntext),
+         |dt AS (SELECT doc_id,
+         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM d),
+         |dg AS (SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(toks) - 11),
+         |      i -> array_to_string(toks[i:i+12], ' ')))) AS gram
+         |  FROM dt WHERE len(toks) >= 13),
+         |bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+         |hits AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (gram))
+         |SELECT d.doc_id,
+         |  (canon.doc_id IS NOT NULL) AS is_canonical,
+         |  rep.rep_ok, pii.pii_ok,
+         |  (hits.doc_id IS NULL) AS decon_ok,
+         |  qual.quality_ok,
+         |  (canon.doc_id IS NOT NULL AND rep.rep_ok AND pii.pii_ok
+         |   AND hits.doc_id IS NULL AND qual.quality_ok) AS keep
+         |FROM d
+         |LEFT JOIN canon ON canon.doc_id = d.doc_id
+         |JOIN rep ON rep.doc_id = d.doc_id
+         |JOIN pii ON pii.doc_id = d.doc_id
+         |JOIN qual ON qual.doc_id = d.doc_id
+         |LEFT JOIN hits ON hits.doc_id = d.doc_id""".stripMargin
     },
     "q_pii_scrub" -> {
       val pii = TextAnalysis.piiPatterns.toMap

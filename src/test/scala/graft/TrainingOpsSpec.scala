@@ -380,6 +380,33 @@ class TrainingOpsSpec extends SparkSpec {
     assert(copies.filter($"is_kept" || $"rep_id" =!= $"vec_id" - 1000000L).count() == 0)
   }
 
+  test("curation verdict: each axis fails exactly its planted offender") {
+    import spark.implicits._
+    val good = (1 to 60).map(i => s"tok$i").mkString(" ") + ". Fine text here?"
+    val benchDoc = (100 to 125).map(i => s"bw$i").mkString(" ")
+    val docs = Seq(
+      (0L, good),                                   // keeper
+      (1L, good),                                   // exact dup of 0 → not canonical
+      (2L, good + " mail me x@y.io now"),           // PII
+      (3L, "short doc"),                            // quality floor
+      (4L, Seq.fill(50)("spam").mkString(" ")),     // repetition
+      (5L, s"prefix $benchDoc suffix " + (1 to 40).map(i => s"u$i").mkString(" ")), // contaminated
+      (97L, benchDoc + " " + (200 to 240).map(i => s"bx$i").mkString(" "))) // the bench doc itself
+      .toDF("doc_id", "text")
+    val out = Curate.report(spark, docs, docs.filter($"doc_id" === 97L))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    // (is_canonical, rep_ok, pii_ok, decon_ok, quality_ok, keep)
+    assert(out(0L) == ((true, true, true, true, true, true)))
+    assert(out(1L) == ((false, true, true, true, true, false)))
+    assert(out(2L)._3 == false && out(2L)._6 == false && out(2L)._1)
+    assert(out(3L)._5 == false && out(3L)._6 == false)
+    assert(out(4L)._2 == false && out(4L)._6 == false)
+    assert(out(5L)._4 == false && out(5L)._6 == false)
+    assert(out(97L)._4 == false)                    // bench self-hit
+    assert(out.size == 7)                           // one verdict per doc
+  }
+
   test("decontamination flags exactly the docs sharing a bench n-gram") {
     import spark.implicits._
     val w = (1 to 20).map(i => s"w$i").mkString(" ")           // 20 tokens
