@@ -190,8 +190,13 @@ object Pipeline {
       }
     }
 
-    // rows_in for clusters = dup pairs fed to CC = pairs stage rows_out
-    val pairsRowsIn = metricsBuf.find(_.stage == "pairs").map(_.rows_out).getOrElse(-1L)
+    // rows_in for clusters = dup pairs actually FED to CC — the stage
+    // filters substring edges out below, so the pairs stage's rows_out
+    // would overstate it by the substring share. pairsOut reads the
+    // committed table, so this count is a cheap parquet scan of the
+    // (tiny) pairs table, fresh or resumed.
+    val pairsRowsIn = pairsOut("dup_pairs")
+      .filter($"detector" =!= "substring").count()
     val obsClusters = Observation()
     val clustersOut = timed("clusters", obsClusters)(
       (pairsRowsIn, committedCount("clusters", "clusters"), -1L)) {

@@ -184,11 +184,13 @@ object Hashing {
       s"numHashes must be a power of two (OPH bins), got $numHashes")
     val sig = Array.fill(numHashes)(Long.MaxValue)
     if (shingles.isEmpty) return sig
+    // JVM long shifts mask the distance to 6 bits, so numHashes = 1
+    // (shift 64) would be h >>> 0 = h, not 0 — guard the one-bin case
     val shift = 64 - Integer.numberOfTrailingZeros(numHashes)
     var s = 0
     while (s < shingles.length) {
       val h = mix64(shingles(s) ^ seed)
-      val bin = (h >>> shift).toInt
+      val bin = if (numHashes == 1) 0 else (h >>> shift).toInt
       val v = mix64(h) // value bits independent of the bin-choice bits
       if (v < sig(bin)) sig(bin) = v
       s += 1

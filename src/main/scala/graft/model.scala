@@ -132,6 +132,10 @@ final case class DedupConfig(
     ccBatchIters: Int = 0,
     seed: Long = 42L) {
   require(numHashes == bands * rowsPerBand, "numHashes must equal bands*rowsPerBand")
+  // fail at construction, not inside an executor task mid-job: the OPH
+  // minhash kernel bins by the top lg(numHashes) hash bits
+  require(Integer.bitCount(numHashes) == 1,
+    "numHashes must be a power of two (OPH minhash bins)")
   require(simhashBits == 64, "SimHash is fixed at 64 bits")
   // anchor sampling implements "hash ≡ 0 mod sample" as a mask — only
   // correct for powers of two; reject configs that would silently

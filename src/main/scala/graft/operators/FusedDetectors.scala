@@ -131,7 +131,18 @@ object FusedDetectors {
 
     // verification joins read the one cached signature table; each
     // detector filters to ITS candidate tag so fused recall/precision
-    // equals the standalone detectors' exactly.
-    verifyPairs(cands, sigs, cfg, slack).as[DupPair]
+    // equals the standalone detectors' exactly. The result (pairs —
+    // tiny) is materialized so the two corpus-sized caches above can be
+    // freed HERE instead of leaking for the session's lifetime (a bench
+    // run invokes this per pass; a long-lived ingest session many
+    // times). Checkpointed blocks are untracked by the cache manager —
+    // retire the previous invocation's output (same contract as CC
+    // labels: valid until the next dupPairs on the SAME session;
+    // persist/write first to hold two results).
+    val out = verifyPairs(cands, sigs, cfg, slack).as[DupPair].localCheckpoint(true)
+    sigs0.unpersist(false)
+    cands.unpersist(false)
+    Retire.swap(spark, "fused_pairs", out.toDF)
+    out
   }
 }

@@ -488,11 +488,18 @@ object IvfIndex {
       $"embedding".cast("array<double>").as("q_emb"))
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val cands = ivfCandidates(spark, corpus, cents, nProbe, cellCap, Some(codes))
-      .join(qEmb, Seq("query_id"))
 
+    // join the query embedding AFTER the candidate exchange, with both
+    // sides co-partitioned on query_id: the per-candidate shuffle ships
+    // (query_id, vec_id, m-byte code) only, and each query's d-float
+    // embedding crosses the wire ONCE (the qEmb side) — the IVFADC
+    // bandwidth story this operator exists for. The group scorer needs
+    // contiguous query groups, which the query_id sort provides (vec_id
+    // order within a group is irrelevant — the heap tie-breaks).
     val adcTop = cands
       .repartition(parts, $"query_id")
-      .sortWithinPartitions($"query_id", $"vec_id")
+      .join(qEmb.repartition(parts, $"query_id"), Seq("query_id"))
+      .sortWithinPartitions($"query_id")
       .as[(Long, Long, Array[Byte], Seq[Double])]
       .mapPartitions { it =>
         val bk = bcBooks.value

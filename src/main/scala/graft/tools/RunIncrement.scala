@@ -128,16 +128,32 @@ object RunIncrement {
       // star cap between runs, and incremental kept previously verified
       // links a capped fresh run would not regenerate — then incremental
       // clusters are a strict COARSENING of the full run's (higher
-      // recall, equal precision). Anything else is a real mismatch.
-      val splits = full.select($"conv_id", $"cluster_id".as("fc"))
-        .join(updated.select($"conv_id", $"cluster_id".as("ic")), Seq("conv_id"))
-        .groupBy($"fc").agg(countDistinct($"ic").as("n"))
+      // recall, equal precision). Benign requires ALL of:
+      //   (a) no full cluster is split across incremental clusters,
+      //   (b) some incremental cluster actually merges >1 full cluster
+      //       (pure column divergence with identical partitions is NOT
+      //       coarsening — e.g. a representative-rule regression),
+      //   (c) every doc OUTSIDE a merged cluster matches the full run
+      //       on every column. Anything else is a real mismatch.
+      val j = full.select($"conv_id", $"cluster_id".as("fc"),
+          $"representative".as("fr"), $"is_representative".as("fir"))
+        .join(updated.select($"conv_id", $"cluster_id".as("ic"),
+          $"representative".as("ir"), $"is_representative".as("iir")), Seq("conv_id"))
+        .cache()
+      val splits = j.groupBy($"fc").agg(countDistinct($"ic").as("n"))
         .filter($"n" > 1).count()
-      if (splits == 0)
+      val merged = j.groupBy($"ic").agg(countDistinct($"fc").as("n"))
+        .filter($"n" > 1).select($"ic")
+      val nMerged = merged.count()
+      val cleanDiffs = j.join(merged, Seq("ic"), "left_anti")
+        .filter($"fc" =!= $"ic" || $"fr" =!= $"ir" || $"fir" =!= $"iir")
+        .count()
+      if (splits == 0 && nMerged > 0 && cleanDiffs == 0)
         println("[increment] divergence is the documented overflow-transition " +
           "coarsening (incremental keeps previously verified links) — benign")
       else {
-        System.err.println("[increment] MISMATCH between incremental and full clustering")
+        System.err.println(s"[increment] MISMATCH between incremental and full " +
+          s"clustering (splits=$splits merged=$nMerged clean_diffs=$cleanDiffs)")
         sys.exit(1)
       }
     }

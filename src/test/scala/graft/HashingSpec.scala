@@ -39,6 +39,15 @@ class HashingSpec extends AnyFunSuite {
     assert(!s1.sameElements(minhashSignature(sh, 128, 43)))
   }
 
+  test("minhash numHashes = 1 (shift-64 edge): single bin, no crash") {
+    // JVM long shifts mask the distance to 6 bits, so the one-bin case
+    // must not index by h >>> 64 == h
+    val sh = shingleHashes("a b c d e f g h i j", 3)
+    val s = minhashSignature(sh, 1, 42)
+    assert(s.length == 1 && s(0) != Long.MaxValue)
+    assert(s.sameElements(minhashSignature(sh, 1, 42)))
+  }
+
   test("identical docs → identical signatures, exactJaccard = 1") {
     val a = shingleHashes("the quick brown fox jumps over the lazy dog", 3)
     assert(exactJaccard(a, a) == 1.0)

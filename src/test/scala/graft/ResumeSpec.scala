@@ -115,6 +115,10 @@ class ResumeSpec extends SparkSpec {
     assert(m("exact").dup_pairs == turns - uniq, "exact dup_pairs = turns deduped away")
     assert(m("pairs").rows_out == res.dupPairs.count())
     assert(m("pairs").dup_pairs == m("pairs").rows_out)
+    // clusters rows_in = edges actually FED to CC (substring edges are
+    // lineage-only and filtered out before clustering)
+    assert(m("clusters").rows_in ==
+      res.dupPairs.filter($"detector" =!= "substring").count())
     assert(m("clusters").rows_out == N)
     assert(m("lineage").rows_out == turns)
     assert(m("restore").rows_out == turns)
