@@ -427,6 +427,19 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(0L)._2 == 20 - 12 && out(3L)._2 == 20 - 12)     // hits = exactly the shared grams
   }
 
+  test("self-decontamination invariant: every doc with >= n tokens flags against itself") {
+    import spark.implicits._
+    val out = Decontaminate.contamination(spark, documents, documents, n = 13)
+    val withGrams = documents
+      .filter(TextAnalysis.tokenCount($"text") >= 13).count()
+    assert(out.filter($"contaminated").count() == withGrams)
+    // and every contaminated doc's hits == its own gram count (bench is
+    // a superset of self, so n_hits >= n_grams is impossible to violate
+    // downward only via a hashing/join bug)
+    assert(out.filter($"contaminated" && $"n_hits" =!= $"n_grams").count() == 0)
+    assert(out.count() == documents.count())
+  }
+
   test("decontamination normalizes case and whitespace before gram matching") {
     import spark.implicits._
     val w = (1 to 13).map(i => s"W$i").mkString("  ")          // mixed case, double spaces
