@@ -407,6 +407,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.size == 7)                           // one verdict per doc
   }
 
+  test("narrow text ops run unchanged as a streaming query (stateless scan ops)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the per-row curation axes (PII scrub/stats, quality, repetition)
+    // are stateless column exprs, so the SAME code must work on a
+    // stream — this pins that none of them smuggles in a batch-only
+    // construct (global window/sort/groupBy)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val df = mem.toDS().toDF("doc_id", "text")
+    val q = TextAnalysis.qualityScore(df)
+      .withColumn("scrubbed", TextAnalysis.piiScrub($"text"))
+      .select($"doc_id", $"quality_score", $"scrubbed")
+      .writeStream.format("memory").queryName("txt_stream")
+      .outputMode("append").start()
+    mem.addData((1L, "call 555-867-5309 now please"), (2L, "plain words only"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("txt_stream")
+      .select($"doc_id", $"scrubbed").as[(Long, String)].collect().toMap
+    assert(rows(1L) == "call <PHONE> now please")
+    assert(rows(2L) == "plain words only")
+    // the other per-row axes analyze as streaming frames too
+    assert(TextAnalysis.repetitionFilter(df).isStreaming)
+    assert(TextAnalysis.piiStats(df).isStreaming)
+  }
+
   test("decontamination flags exactly the docs sharing a bench n-gram") {
     import spark.implicits._
     val w = (1 to 20).map(i => s"w$i").mkString(" ")           // 20 tokens
