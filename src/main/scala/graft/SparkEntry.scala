@@ -435,6 +435,11 @@ object SparkEntry {
       plantedPiiDocuments(s, dir)
         .select($"doc_id", TextAnalysis.piiScrub($"text").as("scrubbed"))
     }),
+    // greedy sequence packing (training-batch assembly): NEXT-FIT in
+    // doc_id order within 8 groups, 500-token bins. The oracle replays
+    // the identical streaming discipline as a recursive CTE.
+    "q_packing" -> ((s, dir) =>
+      Packing.pack(s, readT(s, dir, "documents"), budgetTokens = 500L, nGroups = 8)),
     // end-to-end curation verdict over the planted curation corpus —
     // every axis exercised (see plantedCurationDocuments), every axis
     // recomputed by the oracle from scratch
@@ -940,6 +945,23 @@ object SparkEntry {
          |   OR coalesce(len(regexp_extract_all(text, '$phone')), 0) > 0) AS has_pii
          |FROM d""".stripMargin
     },
+    // NEXT-FIT replay: the recursion carries (bin, fill) down each
+    // group's doc_id-ordered stream — the exact operator semantics
+    "q_packing" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id % 8 AS g, doc_id,
+         |    CAST($tokenCountSql AS BIGINT) AS n_tokens,
+         |    CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS BIGINT) AS rn
+         |  FROM documents),
+         |rec AS (
+         |  SELECT g, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.g, t.rn, t.doc_id, t.n_tokens,
+         |    CASE WHEN rec.fill + t.n_tokens <= 500 THEN rec.bin ELSE rec.bin + 1 END,
+         |    CASE WHEN rec.fill + t.n_tokens <= 500 THEN rec.fill + t.n_tokens ELSE t.n_tokens END
+         |  FROM rec JOIN t ON t.g = rec.g AND t.rn = rec.rn + 1)
+         |SELECT g AS pack_group, doc_id, bin AS bin_seq, n_tokens FROM rec""".stripMargin,
     // per-axis recompute of the whole curation verdict (repetition,
     // PII, quality, first-writer dedup, 13-gram decon — each CTE is the
     // corresponding single-axis oracle adapted to the curation corpus)

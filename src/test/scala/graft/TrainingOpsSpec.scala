@@ -380,6 +380,26 @@ class TrainingOpsSpec extends SparkSpec {
     assert(copies.filter($"is_kept" || $"rep_id" =!= $"vec_id" - 1000000L).count() == 0)
   }
 
+  test("packing: next-fit discipline, oversized docs isolated, budget respected") {
+    import spark.implicits._
+    def toks(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (1L, toks(5)), (2L, toks(5)), (3L, toks(5)),
+      (4L, toks(100)), (5L, toks(3)), (6L, toks(8))).toDF("doc_id", "text")
+    val out = Packing.pack(spark, docs, budgetTokens = 10L, nGroups = 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L, 6L -> 4L))
+    // invariant on the real corpus: every bin's total <= budget unless
+    // it is a singleton (an oversized doc alone); one row per doc
+    val budget = 500L
+    val packed = Packing.pack(spark, documents, budget, nGroups = 8)
+    assert(packed.count() == documents.count())
+    val bad = packed.groupBy($"pack_group", $"bin_seq")
+      .agg(sum($"n_tokens").as("tot"), count(lit(1)).as("n"))
+      .filter($"tot" > budget && $"n" > 1)
+    assert(bad.count() == 0)
+  }
+
   test("curation verdict: each axis fails exactly its planted offender") {
     import spark.implicits._
     val good = (1 to 60).map(i => s"tok$i").mkString(" ") + ". Fine text here?"
