@@ -423,6 +423,16 @@ object SparkEntry {
       Decontaminate.contamination(s, docs,
         docs.filter($"doc_id" % 97 === 0), n = 13)
     }),
+    // span-level remediation: cut every token covered by a
+    // bench-shared 13-gram window; bench docs (their own hits) come
+    // back fully cut, clean docs come back normalized-intact. Full
+    // row-level oracle: DuckDB recomputes positions from gram STRINGS
+    // and replays the window cut with nested list lambdas.
+    "q_decon_cut" -> ((s, dir) => {
+      import s.implicits._
+      val docs = readT(s, dir, "documents")
+      Decontaminate.cutSpans(s, docs, docs.filter($"doc_id" % 97 === 0), n = 13)
+    }),
     // PII counts over the planted-PII corpus (planted rows non-vacuous,
     // untouched rows assert zero false positives); DuckDB runs the
     // IDENTICAL RE2-safe regexes.
@@ -930,6 +940,27 @@ object SparkEntry {
         |  CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
         |  coalesce(hits.n_hits, 0) > 0 AS contaminated
         |FROM t LEFT JOIN sizes USING (doc_id) LEFT JOIN hits USING (doc_id)""".stripMargin,
+    "q_decon_cut" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks
+        |  FROM documents),
+        |gi AS (SELECT doc_id, unnest(range(1, len(toks) - 11)) AS i
+        |       FROM t WHERE len(toks) >= 13),
+        |g AS (SELECT gi.doc_id, gi.i - 1 AS pos,
+        |        array_to_string(t.toks[gi.i:gi.i+12], ' ') AS gram
+        |      FROM gi JOIN t USING (doc_id)),
+        |bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |hits AS (SELECT doc_id, list_sort(list(pos)) AS hp
+        |         FROM g JOIN bg USING (gram) GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(array_to_string(list_filter(list_transform(range(1, len(toks) + 1),
+        |    i -> CASE WHEN len(list_filter(coalesce(hits.hp, []::BIGINT[]),
+        |                     p -> p <= i - 1 AND i - 1 < p + 13)) = 0
+        |         THEN toks[i] END),
+        |    x -> x IS NOT NULL), ' '), '') AS cut_text,
+        |  CAST(coalesce(len(hits.hp), 0) AS BIGINT) AS n_hit_grams
+        |FROM t LEFT JOIN hits USING (doc_id)""".stripMargin,
     "q_pii" -> {
       val pii = TextAnalysis.piiPatterns.toMap
       val (email, ip, phone) = (pii("email"), pii("ip"), pii("phone"))

@@ -334,6 +334,30 @@ object Hashing {
     sortedDistinct(buf, n)
   }
 
+  /** Every q-gram's 128-bit key WITH its 0-based token start position,
+    * interleaved [pos0, hi0, lo0, pos1, hi1, lo1, ...] in stream order
+    * and WITHOUT dedup — the span-cut consumer needs every occurrence,
+    * not the distinct key set. Key derivation is IDENTICAL to
+    * [[substringAnchors128]] at sample = 1, so keys from the two
+    * kernels join against each other. */
+  def gramFps128WithPos(text: String, q: Int): Array[Long] = {
+    val th = tokenHashes(text)
+    if (th.length < q) return Array.empty
+    val out = new Array[Long](3 * (th.length - q + 1))
+    var i = 0
+    while (i + q <= th.length) {
+      var h = 0x1D8E4E27C47D124FL
+      var h2 = 0x5851F42D4C957F2DL
+      var j = i
+      while (j < i + q) { h = combine(h, th(j)); h2 = combine(h2, th(j)); j += 1 }
+      out(3 * i) = i.toLong
+      out(3 * i + 1) = h
+      out(3 * i + 2) = h2
+      i += 1
+    }
+    out
+  }
+
   /** Both near-dup signatures of a doc in ONE tokenization pass:
     * (minhash signature over k1-shingles, 64-bit simhash over
     * k2-shingles). Bit-identical to calling [[minhashSignature]] ∘

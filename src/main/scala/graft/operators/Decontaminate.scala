@@ -63,4 +63,61 @@ object Decontaminate {
       .select($"doc_id", $"n_grams", $"n_hits",
         ($"n_hits" > 0).as("contaminated"))
   }
+
+  /** Contaminated SPAN positions per training doc: for every doc that
+    * shares an n-gram with `bench`, the sorted 0-based token positions
+    * where a shared gram starts (every occurrence, not distinct keys —
+    * the remediation consumer cuts ranges). Docs with no hits are
+    * absent. Same plan shape as [[contamination]]: positional gram
+    * keys explode into a broadcast semi-join; only HIT rows reach the
+    * groupBy, so the per-doc position arrays stay hit-sized. */
+  def contaminationSpans(
+      spark: SparkSession, train: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 13): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val benchFps = bench
+      .select(explode(call_function("graft_substr_anchors128",
+        col(textCol), lit(n), lit(1))).as("gfp"))
+      .distinct()
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(call_function("graft_gram_fps_pos", col(textCol), lit(n))).as("g"))
+      .select($"doc_id", $"g.pos".as("pos"),
+        struct($"g.hi".as("hi"), $"g.lo".as("lo")).as("gfp"))
+      .join(broadcast(benchFps), Seq("gfp"), "left_semi")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list($"pos")).as("hit_pos"))
+  }
+
+  /** ExactSubstr-style remediation (the public "cut the span, keep the
+    * doc" discipline — Lee et al. 2022, arXiv:2107.06499 remove
+    * duplicate spans rather than documents): drop every token covered
+    * by a contaminated n-gram window [p, p+n) and keep the rest.
+    * Output one row per training doc: (doc_id, cut_text, n_hit_grams).
+    * The cut operates on the NORMALIZED token stream (lowercase +
+    * whitespace collapse — the detector's granularity); clean docs
+    * come back normalized but otherwise intact. Pure per-row HOF
+    * expressions over the joined position arrays — no second text
+    * scan beyond the span join itself. */
+  def cutSpans(
+      spark: SparkSession, train: DataFrame, bench: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 13): DataFrame = {
+    import spark.implicits._
+    val spans = contaminationSpans(spark, train, bench, idCol, textCol, n)
+    val toks = split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " ")
+    train
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(
+        $"doc_id",
+        concat_ws(" ",
+          filter($"toks", (tok, i) =>
+            $"hit_pos".isNull ||
+              !exists($"hit_pos", p => p <= i.cast("long") &&
+                i.cast("long") < p + n))).as("cut_text"),
+        coalesce(size($"hit_pos"), lit(0)).cast("bigint").as("n_hit_grams"))
+  }
 }

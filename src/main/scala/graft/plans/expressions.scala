@@ -63,6 +63,21 @@ object GraftKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
+  /** Positional gram keys as interleaved [pos, hi, lo, ...] —
+    * [[GramFpsPosExpr]] reshapes them into struct rows. */
+  def gramFpsPos(text: UTF8String, q: Int): ArrayData = {
+    val flat = Hashing.gramFps128WithPos(text.toString, q)
+    val n = flat.length / 3
+    val rows = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(
+        flat(3 * i), flat(3 * i + 1), flat(3 * i + 2))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   def ballKeys(h: Long, blocks: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(Hashing.simhashBallKeys(h, blocks))
 
@@ -250,6 +265,30 @@ case class SubstrAnchors128Expr(child: Expression, q: Int, sample: Int)
     copy(child = newChild)
 }
 
+/** text → EVERY q-gram's (pos, 128-bit key), stream order, no dedup —
+  * the positional sibling of [[SubstrAnchors128Expr]] (same key
+  * derivation at sample = 1), for span-level consumers that must know
+  * WHERE a gram sits, not just that it exists. */
+case class GramFpsPosExpr(child: Expression, q: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires StringType, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", LongType, nullable = false),
+      StructField("hi", LongType, nullable = false),
+      StructField("lo", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_gram_fps_pos"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.gramFpsPos(input.asInstanceOf[UTF8String], q)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftKernels.gramFpsPos($c, $q)")
+  override protected def withNewChildInternal(newChild: Expression): GramFpsPosExpr =
+    copy(child = newChild)
+}
+
 /** simhash Long → Hamming-ball candidate keys. */
 case class BallKeysExpr(child: Expression, blocks: Int)
     extends UnaryExpression {
@@ -349,6 +388,7 @@ object GraftFunctions {
       SubstrAnchorsExpr(cs.head, litInt(cs(1), "q"), litInt(cs(2), "sample"))),
     "graft_substr_anchors128" -> (cs =>
       SubstrAnchors128Expr(cs.head, litInt(cs(1), "q"), litInt(cs(2), "sample"))),
+    "graft_gram_fps_pos" -> (cs => GramFpsPosExpr(cs.head, litInt(cs(1), "q"))),
     "graft_ball_keys" -> (cs => BallKeysExpr(cs.head, litInt(cs(1), "blocks"))),
     "graft_sig_jaccard" -> (cs => SigJaccardExpr(cs.head, cs(1))),
     "graft_doc_fp" -> (cs =>

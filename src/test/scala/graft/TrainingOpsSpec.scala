@@ -473,6 +473,24 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(0L)._2 == 20 - 12 && out(3L)._2 == 20 - 12)     // hits = exactly the shared grams
   }
 
+  test("span cut: only the contaminated window is removed, clean text survives") {
+    import spark.implicits._
+    val b = (1 to 13).map(i => s"b$i").mkString(" ")     // the bench 13-gram
+    val train = Seq(
+      (0L, s"x1 x2 x3 x4 x5 $b y1 y2 y3 y4 y5"),         // B embedded mid-doc
+      (1L, s"$b $b"),                                    // two full copies → all covered
+      (2L, "totally unrelated words only"),              // clean, < n tokens
+      (9L, b)).toDF("doc_id", "text")                    // the bench doc itself
+    val bench = train.filter($"doc_id" === 9L)
+    val out = Decontaminate.cutSpans(spark, train, bench, n = 13)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(0L) == (("x1 x2 x3 x4 x5 y1 y2 y3 y4 y5", 1L)))
+    assert(out(1L) == (("", 2L)))                        // hits at 0 and 13 cover all 26
+    assert(out(2L) == (("totally unrelated words only", 0L)))
+    assert(out(9L) == (("", 1L)))                        // bench self-hit, fully cut
+    assert(out.size == 4)
+  }
+
   test("self-decontamination invariant: every doc with >= n tokens flags against itself") {
     import spark.implicits._
     val out = Decontaminate.contamination(spark, documents, documents, n = 13)
