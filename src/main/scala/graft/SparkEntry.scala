@@ -981,7 +981,7 @@ object SparkEntry {
     "q_packing" ->
       s"""WITH RECURSIVE t AS (
          |  SELECT doc_id % 8 AS g, doc_id,
-         |    CAST($tokenCountSql AS BIGINT) AS n_tokens,
+         |    CAST(coalesce($tokenCountSql, 0) AS BIGINT) AS n_tokens,
          |    CAST(row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS BIGINT) AS rn
          |  FROM documents),
          |rec AS (

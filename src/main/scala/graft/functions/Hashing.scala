@@ -346,10 +346,7 @@ object Hashing {
     val out = new Array[Long](3 * (th.length - q + 1))
     var i = 0
     while (i + q <= th.length) {
-      var h = 0x1D8E4E27C47D124FL
-      var h2 = 0x5851F42D4C957F2DL
-      var j = i
-      while (j < i + q) { h = combine(h, th(j)); h2 = combine(h2, th(j)); j += 1 }
+      val (h, h2) = gramKey128(th, i, q)
       out(3 * i) = i.toLong
       out(3 * i + 1) = h
       out(3 * i + 2) = h2
@@ -385,6 +382,20 @@ object Hashing {
     * birthday bound (same width rationale as [[graft.Fp]]). Residual
     * risk is only via two distinct TOKENS colliding at 64 bits inside an
     * otherwise-identical (q-1)-token context — vanishingly unlikely. */
+  /** The shared per-gram 128-bit key derivation: (hi, lo) of the
+    * q-token run starting at `i`. ALL gram-key producers
+    * ([[substringAnchors128]], [[gramFps128WithPos]]) MUST go through
+    * this — their keys join against each other, and a one-sided seed
+    * or combine change would silently turn every cross-kernel join
+    * into zero matches. */
+  @inline private def gramKey128(th: Array[Long], i: Int, q: Int): (Long, Long) = {
+    var h = 0x1D8E4E27C47D124FL
+    var h2 = 0x5851F42D4C957F2DL
+    var j = i
+    while (j < i + q) { h = combine(h, th(j)); h2 = combine(h2, th(j)); j += 1 }
+    (h, h2)
+  }
+
   def substringAnchors128(text: String, q: Int, sample: Int): Array[Long] = {
     require(Integer.bitCount(sample) == 1, s"sample must be a power of two, got $sample")
     val th = tokenHashes(text)
@@ -393,10 +404,7 @@ object Hashing {
     var n = 0
     var i = 0
     while (i + q <= th.length) {
-      var h = 0x1D8E4E27C47D124FL
-      var h2 = 0x5851F42D4C957F2DL
-      var j = i
-      while (j < i + q) { h = combine(h, th(j)); h2 = combine(h2, th(j)); j += 1 }
+      val (h, h2) = gramKey128(th, i, q)
       if ((h & (sample - 1)) == 0) { buf(2 * n) = h; buf(2 * n + 1) = h2; n += 1 }
       i += 1
     }

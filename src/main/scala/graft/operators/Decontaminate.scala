@@ -47,9 +47,7 @@ object Decontaminate {
     // all distinct n-gram 128-bit keys (sample = 1 disables winnowing)
     val grams = call_function("graft_substr_anchors128",
       col(textCol), lit(n), lit(1))
-    val benchFps = bench
-      .select(explode(grams).as("gfp"))
-      .distinct()
+    val benchFps = benchGramFps(spark, bench, textCol, n)
       .select($"gfp", lit(1).as("hit"))
     train
       // explode_outer keeps gram-less docs as one NULL-key row, which
@@ -62,6 +60,18 @@ object Decontaminate {
         count($"hit").as("n_hits"))
       .select($"doc_id", $"n_grams", $"n_hits",
         ($"n_hits" > 0).as("contaminated"))
+  }
+
+  /** The benchmark side every decontamination consumer shares: the
+    * DISTINCT 128-bit keys of all bench n-grams (sample = 1 disables
+    * winnowing), broadcast-sized by the eval-set assumption. */
+  private def benchGramFps(
+      spark: SparkSession, bench: DataFrame, textCol: String, n: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
+    bench
+      .select(explode(call_function("graft_substr_anchors128",
+        col(textCol), lit(n), lit(1))).as("gfp"))
+      .distinct()
   }
 
   /** Contaminated SPAN positions per training doc: for every doc that
@@ -77,10 +87,7 @@ object Decontaminate {
       n: Int = 13): DataFrame = {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
-    val benchFps = bench
-      .select(explode(call_function("graft_substr_anchors128",
-        col(textCol), lit(n), lit(1))).as("gfp"))
-      .distinct()
+    val benchFps = benchGramFps(spark, bench, textCol, n)
     train
       .select(col(idCol).as("doc_id"),
         explode(call_function("graft_gram_fps_pos", col(textCol), lit(n))).as("g"))
@@ -107,17 +114,48 @@ object Decontaminate {
       n: Int = 13): DataFrame = {
     import spark.implicits._
     val spans = contaminationSpans(spark, train, bench, idCol, textCol, n)
-    val toks = split(trim(regexp_replace(lower(col(textCol)), "\\s+", " ")), " ")
+    // \p{javaWhitespace} = Character.isWhitespace — the SAME frame the
+    // positional kernel's tokenizer uses. Java-regex \s (ASCII-only)
+    // would shift every hit index on a doc containing U+2028/U+3000/…,
+    // cutting the wrong tokens and LEAVING leaked benchmark text in.
+    val toks = split(trim(regexp_replace(lower(col(textCol)),
+      "\\p{javaWhitespace}+", " ")), " ")
+    // merge the sorted hit windows into disjoint [s, e) intervals with
+    // one aggregate pass (latest interval consed at the head): the
+    // remediation-worthy case is a heavily leaked doc whose hits are
+    // CONTIGUOUS — thousands of positions collapse to a handful of
+    // intervals, so the per-token coverage test is O(intervals), not
+    // O(hits).
+    val nL = lit(n.toLong)
+    val emptyIv = array().cast("array<struct<s:bigint,e:bigint>>")
+    val intervals = aggregate(
+      $"hit_pos",
+      emptyIv,
+      (acc, p) => {
+        val head = element_at(acc, 1)
+        when(size(acc) > 0 && p <= head.getField("e"),
+          concat(
+            array(struct(head.getField("s").as("s"),
+              greatest(head.getField("e"), p + nL).as("e"))),
+            slice(acc, lit(2), size(acc))))
+          .otherwise(concat(array(struct(p.as("s"), (p + nL).as("e"))), acc))
+      })
+    // intervals are computed UNDER the join (an output attribute of the
+    // spans branch): inside the filter lambda below they are a bound
+    // reference, so the merge runs once per doc — written inline at the
+    // lambda site, Catalyst would inline the aggregate into the lambda
+    // body and re-run it per TOKEN.
+    val spansIv = spans.select($"doc_id", $"hit_pos", intervals.as("iv"))
     train
       .select(col(idCol).as("doc_id"), toks.as("toks"))
-      .join(spans, Seq("doc_id"), "left")
+      .join(spansIv, Seq("doc_id"), "left")
       .select(
         $"doc_id",
         concat_ws(" ",
           filter($"toks", (tok, i) =>
-            $"hit_pos".isNull ||
-              !exists($"hit_pos", p => p <= i.cast("long") &&
-                i.cast("long") < p + n))).as("cut_text"),
+            !exists(coalesce($"iv", emptyIv),
+              iv => iv.getField("s") <= i.cast("long") &&
+                i.cast("long") < iv.getField("e")))).as("cut_text"),
         coalesce(size($"hit_pos"), lit(0)).cast("bigint").as("n_hit_grams"))
   }
 }

@@ -35,7 +35,10 @@ object Packing {
       .select(
         pmod(col(idCol), lit(nGroups.toLong)).as("pack_group"),
         col(idCol).as("doc_id"),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        // NULL text ≡ empty (0 tokens) — the repo-wide convention; an
+        // un-coalesced NULL would crash the primitive tuple encoder
+        coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0))
+          .cast("long").as("n_tokens"))
       .repartition(math.min(nGroups,
         spark.conf.get("spark.sql.shuffle.partitions").toInt), $"pack_group")
       .sortWithinPartitions($"pack_group", $"doc_id")

@@ -491,6 +491,31 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("span cut aligns across Unicode whitespace (kernel and cut share one token frame)") {
+    import spark.implicits._
+    val b = (1 to 13).map(i => s"b$i").mkString(" ")
+    // U+3000 ideographic space before the leaked span: isWhitespace but
+    // NOT Java-regex \s — a \s-split cut frame would shift every hit
+    // index and leave leaked tokens in
+    val train = Seq((0L, s"aa　bb $b tail"), (9L, b)).toDF("doc_id", "text")
+    val out = Decontaminate.cutSpans(spark, train, train.filter($"doc_id" === 9L), n = 13)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) == "aa bb tail")
+    assert(out(9L) == "")
+  }
+
+  test("packing treats NULL text as zero tokens (no encoder crash)") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c"), (1L, null.asInstanceOf[String]), (2L, "d e"))
+      .toDF("doc_id", "text")
+    val byDoc = Packing.pack(spark, docs, budgetTokens = 4L, nGroups = 1)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(byDoc(0L) == ((0L, 3L)))
+    assert(byDoc(1L) == ((0L, 0L)))   // NULL ≡ empty: fits anywhere
+    assert(byDoc(2L) == ((1L, 2L)))   // 3 + 0 + 2 > 4 → new bin
+    assert(byDoc.size == 3)
+  }
+
   test("self-decontamination invariant: every doc with >= n tokens flags against itself") {
     import spark.implicits._
     val out = Decontaminate.contamination(spark, documents, documents, n = 13)
