@@ -32,9 +32,10 @@ import graft.sources.{Layout, TableStore}
   * /root/reference/src/optsmr.c:316-332): every stage's
   * rows_in/rows_out/dup_pairs ride the stage's own write job as
   * `observe()` metrics — no extra pass over the data. On a RESUMED
-  * (already-committed) stage the body never runs, so rows_out is
-  * re-read as a zero-column count of the committed table and counters
-  * that would need recompute are reported as -1.
+  * (already-committed) stage the body never runs, so every counter is
+  * re-derived from the COMMITTED tables (zero-column counts / one
+  * boolean-column scan) — a resumed run's metrics table carries no -1
+  * placeholders anywhere.
   */
 object Pipeline {
 
@@ -128,7 +129,13 @@ object Pipeline {
       store.read(spark, stage, table).count()
 
     val obsDocs = Observation()
-    val docsOut = timed("docs", obsDocs)((-1L, committedCount("docs", "docs"), 0L)) {
+    val docsOut = timed("docs", obsDocs)({
+      // rows_in (turns folded into docs) is the committed docs table's
+      // n_turns sum — a one-column scan, no transcript re-read
+      val committed = store.read(spark, "docs", "docs")
+      val ri = committed.agg(sum($"n_turns").cast("long")).as[Long].head()
+      (ri, committed.count(), 0L)
+    }) {
       store.stage(spark, "docs", Seq("docs")) {
         // rows_in = turns folded into docs; rows_out = conversations
         Map("docs" -> DocAssembly.assemble(spark, transcripts).toDF
@@ -198,8 +205,13 @@ object Pipeline {
     val pairsRowsIn = pairsOut("dup_pairs")
       .filter($"detector" =!= "substring").count()
     val obsClusters = Observation()
-    val clustersOut = timed("clusters", obsClusters)(
-      (pairsRowsIn, committedCount("clusters", "clusters"), -1L)) {
+    val clustersOut = timed("clusters", obsClusters)({
+      // dup_pairs (non-representative members) is derivable from the
+      // committed table itself — one cheap boolean-column scan
+      val committed = store.read(spark, "clusters", "clusters")
+      (pairsRowsIn, committed.count(),
+        committed.filter(!$"is_representative").count())
+    }) {
       store.stage(spark, "clusters", Seq("clusters"),
         Map("clusters" -> ClustersLayout)) {
         // substring edges link docs that merely SHARE a block — they are
@@ -223,8 +235,13 @@ object Pipeline {
     // stage — the complete recipe row. Broadcast when the cluster map is
     // small; at corpus scale both sides are bucketed on conv_id hash.
     val obsLineage = Observation()
-    val lineageOut = timed("lineage", obsLineage)(
-      (-1L, committedCount("lineage", "lineage"), -1L)) {
+    val lineageOut = timed("lineage", obsLineage)({
+      // the fresh path reports rows_in = rows scanned = lineage_raw rows
+      // (the left join is row-preserving), so the resumed value is the
+      // committed upstream table's count — same trick as pairsRowsIn
+      (committedCount("exact", "lineage_raw"),
+        committedCount("lineage", "lineage"), 0L)
+    }) {
       store.stage(spark, "lineage", Seq("lineage"),
         Map("lineage" -> LineageLayout)) {
         val clusterMap = clustersOut("clusters").select($"conv_id", $"cluster_id")
@@ -244,8 +261,11 @@ object Pipeline {
     }
 
     val obsRestore = Observation()
-    val restoreOut = timed("restore", obsRestore)(
-      (-1L, committedCount("restore", "restored"), 0L)) {
+    val restoreOut = timed("restore", obsRestore)({
+      // fresh path observes rows_in = rows_out on the restored output
+      val n = committedCount("restore", "restored")
+      (n, n, 0L)
+    }) {
       store.stage(spark, "restore", Seq("restored"),
         Map("restored" -> RestoredLayout)) {
         Map("restored" -> Restore.restore(
@@ -259,7 +279,8 @@ object Pipeline {
     }
 
     val obsMetrics = Observation()
-    val metrics = timed("metrics", obsMetrics)((-1L, -1L, -1L)) {
+    val metrics = timed("metrics", obsMetrics)(
+      (metricsBuf.size.toLong, metricsBuf.size.toLong, 0L)) {
       store.stage(spark, "metrics", Seq("metrics")) {
         // the observation must be attached here too: timed() blocks on
         // obs.get whenever the stage body executes

@@ -869,8 +869,8 @@ object SparkEntry {
     "q_repetition" ->
       """WITH t AS (
         |  SELECT doc_id,
-        |    string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks,
-        |    length(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS nlen
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS toks,
+        |    length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS nlen
         |  FROM documents),
         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t WHERE nlen > 0),
         |freq AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
@@ -901,7 +901,7 @@ object SparkEntry {
          |    CAST($tokenCountSql AS BIGINT) AS n_tokens,
          |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
          |    length(text) AS len,
-         |    length(regexp_replace(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', '', 'g')) AS nonsp
+         |    length(regexp_replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', '', 'g')) AS nonsp
          |  FROM documents)
          |SELECT doc_id, n_tokens, n_punct,
          |  CAST(CASE WHEN n_tokens = 0 THEN 0
@@ -1003,8 +1003,8 @@ object SparkEntry {
          |d AS (SELECT * FROM base UNION ALL
          |      SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 25 = 1),
          |t AS (SELECT doc_id,
-         |    string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks,
-         |    length(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS nlen
+         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
+         |    length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nlen
          |  FROM d),
          |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t WHERE nlen > 0),
          |freq AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
@@ -1030,7 +1030,7 @@ object SparkEntry {
          |    CAST($tokenCountSql AS BIGINT) AS n_tokens,
          |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
          |    length(text) AS len,
-         |    length(regexp_replace(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', '', 'g')) AS nonsp
+         |    length(regexp_replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', '', 'g')) AS nonsp
          |  FROM d),
          |qual AS (SELECT doc_id,
          |    (least(n_tokens, 100) // 2
@@ -1134,11 +1134,15 @@ object SparkEntry {
   )
 
   /** Portable token count (engine-agnostic SQL; 'g' flag — DuckDB
-    * regexp_replace is first-match-only by default, Spark is global). */
+    * regexp_replace is first-match-only by default, Spark is global).
+    * Frame = collapse ALL whitespace then trim — lockstep with
+    * [[graft.operators.TextAnalysis.collapseWs]] (DuckDB RE2 \s covers
+    * the ASCII subset of javaWhitespace; the corpora are ASCII-spaced,
+    * so the two frames agree on every oracle input). */
   private val tokenCountSql: String =
-    """(CASE WHEN length(regexp_replace(trim(text), ' +', ' ', 'g')) = 0 THEN 0
-      | ELSE length(regexp_replace(trim(text), ' +', ' ', 'g'))
-      |    - length(regexp_replace(regexp_replace(trim(text), ' +', ' ', 'g'), ' ', '', 'g')) + 1
+    """(CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+      | ELSE length(trim(regexp_replace(text, '\s+', ' ', 'g')))
+      |    - length(regexp_replace(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ', '', 'g')) + 1
       | END)""".stripMargin.replace("\n", "")
 
   /** DuckDB rendering of [[TextAnalysis.langId]] (documents table has

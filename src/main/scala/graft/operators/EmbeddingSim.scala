@@ -113,11 +113,18 @@ object EmbeddingSim {
   /** Bucketed ANN top-k: `tables` independent b-bit sketches; vectors
     * sharing any bucket are candidates; exact cosine re-ranks.
     *
-    * Skew safety: every bucket is HARD-CAPPED at `bucketCap` members
-    * (deterministic first-by-vec_id) before the self-join, so a hot
-    * bucket — a mega-cluster of near-identical embeddings — contributes
-    * at most cap² candidate rows instead of n². Vectors dropped from an
-    * over-full bucket keep their other `tables-1` probes. */
+    * Skew safety: only the MEMBER ('b') side of the bucket join is
+    * HARD-CAPPED at `bucketCap` (deterministic first-by-vec_id) — the
+    * QUERY side streams uncapped, the same asymmetry as
+    * [[IvfIndex.ivfTopK]]'s cells. A hot bucket — a mega-cluster of
+    * near-identical embeddings — therefore costs |bucket|·cap candidate
+    * rows instead of n², while a capped-OUT vector still probes that
+    * bucket as a query (under the old both-sides cap it lost the probe
+    * along with membership: in the degenerate all-identical-vector
+    * corpus every table collides, so capped-out vectors had ZERO
+    * candidates anywhere — recall 0 exactly where dedup matters most).
+    * Both consumers of the keys read ONE pinned bucket exchange
+    * (ReuseExchange). */
   def rhpBucketTopK(
       spark: SparkSession,
       corpus: DataFrame,
@@ -127,32 +134,28 @@ object EmbeddingSim {
       seed: Long = 42L,
       bucketCap: Int = 2048): DataFrame = {
     import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val keys = bucketKeys(spark, corpus, bits, tables, seed)
-    val capped = capByKey(spark, keys, bucketCap)
-    // candidate pairs within capped buckets (both directions kept)
-    val cands = capped.as("a")
+      .repartition(parts, $"bucket")
+    val capped = capSortedByKey(spark, keys, bucketCap)
+    // query side uncapped × member side capped (both directions still
+    // emitted: every vector appears on the query side of its buckets)
+    val cands = keys.as("a")
       .join(capped.as("b"), $"a.bucket" === $"b.bucket" && $"a.vec_id" =!= $"b.vec_id")
       .select($"a.vec_id".as("query_id"), $"b.vec_id".as("vec_id"))
       .distinct()
     rerankTopK(spark, corpus, cands, k)
   }
 
-  /** Per-bucket cap WITHOUT a window: repartition on bucket, sort
-    * within partitions, stream-count each bucket in a single pass —
-    * the same scale-safe shape as MinHashLSH.candidatePairs. A
-    * row_number window would sort a mega-bucket in ONE task; here a
-    * hot bucket costs a linear scan inside an ordinary shuffle
-    * partition and the cap is deterministic (first `cap` ids).
+  /** Per-bucket cap WITHOUT a window, for input ALREADY hash-partitioned
+    * on `bucket`: sort within partitions, stream-count each bucket in a
+    * single pass (the MinHashLSH.candidatePairs shape — a row_number
+    * window would sort a mega-bucket in ONE task; here a hot bucket
+    * costs a linear scan inside an ordinary shuffle partition and the
+    * cap is deterministic, first `cap` ids). Taking pre-partitioned
+    * input lets a caller share one exchange between the cap and other
+    * consumers (ReuseExchange dedups the identical shuffle).
     * Input/output schema: (bucket: Long, vec_id: Long). */
-  private[operators] def capByKey(spark: SparkSession, keys: DataFrame, cap: Int): DataFrame = {
-    import spark.implicits._
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    capSortedByKey(spark, keys.repartition(parts, $"bucket"), cap)
-  }
-
-  /** The cap's in-partition tail for input ALREADY hash-partitioned on
-    * `bucket` — lets a caller share one exchange between the cap and
-    * other consumers (ReuseExchange dedups the identical shuffle). */
   private[operators] def capSortedByKey(spark: SparkSession, partitioned: DataFrame, cap: Int): DataFrame = {
     import spark.implicits._
     partitioned

@@ -96,7 +96,15 @@ object FusedDetectors {
       .select($"conv_id", $"s.mh".as("sig"), $"s.sh".as("simhash"))
   }
 
-  /** Both detectors' verified dup pairs from one corpus sweep. */
+  /** Both detectors' verified dup pairs from one corpus sweep.
+    *
+    * LIFETIME CONTRACT: the returned Dataset is a localCheckpoint whose
+    * blocks are retired by the NEXT `dupPairs` call on the same
+    * SparkSession (lineage is truncated, so a stale handle fails with
+    * block-not-found rather than recomputing). Valid until that next
+    * call; `persist()` or write it first if you need to hold two
+    * results. Same contract as [[ConnectedComponents]] labels and
+    * [[SuffixArrayDetector.dupPairs]]. */
   def dupPairs(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig,
       slack: Double = DefaultSlack): Dataset[DupPair] = {
     import spark.implicits._

@@ -35,13 +35,26 @@ object Multimodal {
       meta_height: Int,
       meta_duration_ms: Int)
 
+  /** `content_fp_hi`/`content_fp_lo` are two INDEPENDENTLY-seeded FNV
+    * states over the same decoded pixel/byte stream — a 128-bit
+    * composite identity, mirroring [[ExactDedup.fp]] and
+    * [[TextAnalysis.keepCorpus]]: [[dedupMedia]] is a destructive
+    * first-writer-wins collapse, and a single 64-bit key silently
+    * merges distinct media at the 10^9–10^12-item design point
+    * (birthday bound). Each seed induces a different bytes→hash
+    * bijection, so an hi collision does not propagate to lo. */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
       n_bytes: Int,
-      content_fp: Long,
+      content_fp_hi: Long,
+      content_fp_lo: Long,
       mean_byte_x100: Long,
       frame_fps: Seq[Long])
+
+  /** Second FNV initial state (any odd constant ≠ the standard offset
+    * basis works; same role as keepCorpus's seeded graft_doc_fp). */
+  private val FnvSeed2 = 0x71C67A39E5B495A7L
 
   /** ImageIO must not touch a display server on executors. */
   private def ensureHeadless(): Unit =
@@ -105,13 +118,14 @@ object Multimodal {
   /** REAL image decode via javax.imageio: fingerprint + stats over the
     * DECODED pixel raster (row-major RGB), so identity is
     * pixel-content identity, not byte identity. */
-  private[operators] def decodeImage(payload: Array[Byte]): (Long, Long, Seq[Long]) = {
+  private[operators] def decodeImage(payload: Array[Byte]): (Long, Long, Long, Seq[Long]) = {
     ensureHeadless()
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
     require(img != null, "undecodable image payload")
     val w = img.getWidth
     val h = img.getHeight
     var fp = 0xCBF29CE484222325L
+    var fp2 = FnvSeed2
     var sum = 0L
     var y = 0
     while (y < h) {
@@ -119,26 +133,29 @@ object Multimodal {
       while (x < w) {
         val rgb = img.getRGB(x, y) & 0xFFFFFF
         fp = (fp ^ rgb) * 0x100000001B3L
+        fp2 = (fp2 ^ rgb) * 0x100000001B3L
         sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
         x += 1
       }
       y += 1
     }
     val mean = if (w * h == 0) 0L else sum * 100 / (w.toLong * h * 3)
-    (Hashing.mix64(fp), mean, Seq(Hashing.mix64(fp ^ 0x1000193L)))
+    (Hashing.mix64(fp), Hashing.mix64(fp2), mean, Seq(Hashing.mix64(fp ^ 0x1000193L)))
   }
 
   /** STUB decode for audio/video: a real implementation calls the codec
     * here (ffmpeg via JNI, or a Pandas UDF in a PySpark deployment).
     * The fake derives stable per-blob statistics + per-"frame"
     * fingerprints so downstream plumbing is fully exercisable. */
-  def fakeDecode(payload: Array[Byte], frames: Int): (Long, Long, Seq[Long]) = {
+  def fakeDecode(payload: Array[Byte], frames: Int): (Long, Long, Long, Seq[Long]) = {
     var sum = 0L
     var i = 0
     var fp = 0xCBF29CE484222325L
+    var fp2 = FnvSeed2
     while (i < payload.length) {
       sum += (payload(i) & 0xFF)
       fp = (fp ^ (payload(i) & 0xFFL)) * 0x100000001B3L
+      fp2 = (fp2 ^ (payload(i) & 0xFFL)) * 0x100000001B3L
       i += 1
     }
     val frameFps = (0 until frames).map { f =>
@@ -149,7 +166,8 @@ object Multimodal {
       while (j < end) { h = Hashing.combine(h, payload(j) & 0xFFL); j += 1 }
       h
     }
-    (Hashing.mix64(fp), if (payload.isEmpty) 0L else sum * 100 / payload.length, frameFps)
+    (Hashing.mix64(fp), Hashing.mix64(fp2),
+      if (payload.isEmpty) 0L else sum * 100 / payload.length, frameFps)
   }
 
   /** Feature extraction: one pass per partition, decoder initialized
@@ -161,7 +179,7 @@ object Multimodal {
     media.mapPartitions { rows =>
       ensureHeadless() // per-partition decoder init
       rows.map { r =>
-        val (fp, meanX100, frameFps) =
+        val (fpHi, fpLo, meanX100, frameFps) =
           if (r.kind == "image")
             // a corrupt payload must cost one row, not the stage:
             // degrade that row to the byte-level fingerprint (its
@@ -170,7 +188,7 @@ object Multimodal {
             try decodeImage(r.payload)
             catch { case _: Exception => fakeDecode(r.payload, 1) }
           else fakeDecode(r.payload, if (r.kind == "video") 4 else 1)
-        MediaFeatures(r.media_id, r.kind, r.payload.length, fp, meanX100, frameFps)
+        MediaFeatures(r.media_id, r.kind, r.payload.length, fpHi, fpLo, meanX100, frameFps)
       }
     }
   }
@@ -210,14 +228,15 @@ object Multimodal {
     }
   }
 
-  /** Exact media dedup over content fingerprints — same
-    * first-occurrence-wins shape as turn dedup. */
+  /** Exact media dedup over the 128-bit content fingerprint — same
+    * first-occurrence-wins shape (and the same two-half collision
+    * safety) as turn dedup. */
   def dedupMedia(spark: SparkSession, feats: Dataset[MediaFeatures]): DataFrame = {
     import spark.implicits._
-    val canon = feats.toDF.groupBy($"content_fp")
+    val canon = feats.toDF.groupBy($"content_fp_hi", $"content_fp_lo")
       .agg(min($"media_id").as("rep_media_id"), count(lit(1)).as("n_refs"))
-    feats.toDF.join(canon, Seq("content_fp"))
-      .select($"media_id", $"kind", $"content_fp", $"rep_media_id",
+    feats.toDF.join(canon, Seq("content_fp_hi", "content_fp_lo"))
+      .select($"media_id", $"kind", $"content_fp_hi", $"content_fp_lo", $"rep_media_id",
         ($"media_id" === $"rep_media_id").as("is_unique"), $"n_refs")
   }
 }

@@ -31,6 +31,15 @@ object Packing {
     import spark.implicits._
     require(budgetTokens >= 1, "packing: budgetTokens must be >= 1")
     require(nGroups >= 1, "packing: nGroups must be >= 1")
+    // fail fast at plan-build time: pmod on a non-numeric id silently
+    // yields NULL pack_group, which then crashes the non-nullable
+    // (Long,Long,Long) tuple encoder MID-JOB with an opaque error
+    val idType = docs.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"packing: id column '$idCol' must be integral, got $idType")
     docs
       .select(
         pmod(col(idCol), lit(nGroups.toLong)).as("pack_group"),

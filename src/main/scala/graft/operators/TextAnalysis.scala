@@ -12,10 +12,20 @@ import graft.functions.Hashing
   */
 object TextAnalysis {
 
+  /** The ONE whitespace frame every curation axis tokenizes under:
+    * collapse all Java whitespace (tabs, newlines, U+2028, U+3000, …)
+    * to single spaces, then trim. Decontamination / cutSpans /
+    * keepCorpus tokenize on \p{javaWhitespace} via Hashing.tokenHashes;
+    * the column-expression axes here MUST share that frame or a doc
+    * containing a tab gets different token indices across the axes
+    * composed in [[Curate.report]]. */
+  private[operators] def collapseWs(c: Column): Column =
+    trim(regexp_replace(c, "\\p{javaWhitespace}+", " "))
+
   /** Whitespace token count, portable across engines:
     * tokens = spaces-in-collapsed-text + 1 (0 for empty). */
   def tokenCount(c: Column): Column = {
-    val collapsed = regexp_replace(trim(c), " +", " ")
+    val collapsed = collapseWs(c)
     when(length(collapsed) === 0, lit(0)).otherwise(
       length(collapsed) - length(regexp_replace(collapsed, " ", "")) + 1)
   }
@@ -59,7 +69,7 @@ object TextAnalysis {
       .withColumn("n_punct", punct.cast("bigint"))
       .withColumn("mean_tok_len_x10000",
         when(toks === 0, lit(0L)).otherwise(
-          floor(lit(10000.0) * length(regexp_replace(regexp_replace(trim(c), " +", " "), " ", ""))
+          floor(lit(10000.0) * length(regexp_replace(collapseWs(c), " ", ""))
             / toks)).cast("bigint"))
       .withColumn("punct_ratio_x10000",
         when(length(c) === 0, lit(0L))
@@ -108,7 +118,7 @@ object TextAnalysis {
     // NULL text ≡ empty (all ratios 0, keep=true) — matches the DuckDB
     // oracle's LEFT JOIN + coalesce path; without this a NULL propagates
     // through the when() guards into NULL ratios and a NULL keep
-    val norm = regexp_replace(trim(lower(coalesce(col(textCol), lit("")))), " +", " ")
+    val norm = collapseWs(lower(coalesce(col(textCol), lit(""))))
     val toks = split(norm, " ")
     val empty = length(norm) === 0
     val n = when(empty, lit(0L)).otherwise(size(toks).cast("bigint"))

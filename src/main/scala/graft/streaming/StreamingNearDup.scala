@@ -131,8 +131,13 @@ object StreamingNearDup {
             state.update(members)
             // whole bucket evaporates once the watermark passes its
             // newest member + horizon (horizon = watermark delay, which
-            // equals newest-ts-allowed-to-match-it)
-            state.setTimeoutTimestamp(maxTs, watermark)
+            // equals newest-ts-allowed-to-match-it). Clamp to strictly
+            // above the current watermark: a below-watermark straggler
+            // reaching a bucket whose surviving state is empty would
+            // otherwise compute maxTs <= watermark, and
+            // setTimeoutTimestamp THROWS on that — killing the whole
+            // streaming query for one late row.
+            state.setTimeoutTimestamp(math.max(maxTs, horizonMs + 1), watermark)
             out.result().iterator
           }
         })

@@ -148,12 +148,21 @@ object RunIncrement {
       val cleanDiffs = j.join(merged, Seq("ic"), "left_anti")
         .filter($"fc" =!= $"ic" || $"fr" =!= $"ir" || $"fir" =!= $"iir")
         .count()
-      if (splits == 0 && nMerged > 0 && cleanDiffs == 0)
+      //   (d) WITHIN each merged cluster, the incremental representative
+      //       must be one of the merged full clusters' representatives —
+      //       a representative-rule regression confined to merged
+      //       clusters would otherwise still print 'benign'
+      val repDrift = j.join(merged, Seq("ic"))
+        .join(j.select($"ic", $"fr".as("ir")).distinct(), Seq("ic", "ir"), "left_anti")
+        .count()
+      j.unpersist()
+      if (splits == 0 && nMerged > 0 && cleanDiffs == 0 && repDrift == 0)
         println("[increment] divergence is the documented overflow-transition " +
           "coarsening (incremental keeps previously verified links) — benign")
       else {
         System.err.println(s"[increment] MISMATCH between incremental and full " +
-          s"clustering (splits=$splits merged=$nMerged clean_diffs=$cleanDiffs)")
+          s"clustering (splits=$splits merged=$nMerged clean_diffs=$cleanDiffs " +
+          s"rep_drift=$repDrift)")
         sys.exit(1)
       }
     }

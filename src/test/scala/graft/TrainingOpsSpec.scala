@@ -131,13 +131,19 @@ class TrainingOpsSpec extends SparkSpec {
     val cap = 32
     val topk = EmbeddingSim.rhpBucketTopK(spark, corpus, k = 5, bits = 12,
       tables = tables, seed = 42L, bucketCap = cap)
-    // each surviving query sees at most cap-1 distinct neighbors
+    // each query sees at most k results
     val perQuery = topk.groupBy($"query_id").count().agg(org.apache.spark.sql.functions.max("count"))
       .collect()(0).getLong(0)
     assert(perQuery <= 5)
-    // and the number of queries that produced results is bounded by the
-    // capped bucket membership, not the full 2000
-    assert(topk.select($"query_id").distinct().count() <= (tables * cap).toLong)
+    // the query side streams UNCAPPED: every vector still probes its hot
+    // bucket, so ALL 2000 queries produce results (under the old
+    // both-sides cap, capped-out vectors had zero candidates anywhere —
+    // recall 0 exactly where dedup matters most)
+    assert(topk.select($"query_id").distinct().count() == 2000L)
+    // the MEMBER side is capped: candidate volume is n·tables·cap, not
+    // n² — every neighbor anywhere in the output comes from a capped
+    // bucket membership
+    assert(topk.select($"neighbor_id").distinct().count() <= (tables * cap).toLong)
   }
 
   test("ANN bucket keys are correct on mixed-dimension partitions") {
@@ -178,6 +184,32 @@ class TrainingOpsSpec extends SparkSpec {
     // planted: id % 8 == 7 duplicates id-3
     for (id <- 0L until 64L if id % 8 == 7) assert(dups.get(id).contains(id - 3))
     assert(dups.size == 8)
+    // both fingerprint halves are populated and independent
+    val anyFeat = f1.head
+    assert(anyFeat.content_fp_hi != anyFeat.content_fp_lo)
+  }
+
+  test("media fingerprint is 128-bit: dedup honors BOTH halves (collision safety)") {
+    import spark.implicits._
+    // two DISTINCT media with a forced hi collision: keyed on hi alone
+    // they would merge and one payload would silently vanish — the
+    // 10^9–10^12-media birthday failure mode dedupMedia must survive.
+    // (Injected directly at the MediaFeatures layer, like ExactDedupSpec's
+    // forced-h1 turn collision: finding a real FNV collision is ~2^32.)
+    val forced = Seq(
+      Multimodal.MediaFeatures(0L, "image", 10, 42L, 111L, 50L, Seq(1L)),
+      Multimodal.MediaFeatures(1L, "image", 10, 42L, 222L, 50L, Seq(2L)))
+      .toDS()
+    val d = Multimodal.dedupMedia(spark, forced)
+    assert(d.filter($"is_unique").count() == 2,
+      "hi collision must NOT merge distinct media")
+    // and a true duplicate (both halves equal) still collapses
+    val dup = Seq(
+      Multimodal.MediaFeatures(0L, "image", 10, 42L, 111L, 50L, Seq(1L)),
+      Multimodal.MediaFeatures(1L, "image", 10, 42L, 111L, 50L, Seq(1L)))
+      .toDS()
+    val d2 = Multimodal.dedupMedia(spark, dup)
+    assert(d2.filter(!$"is_unique").select($"rep_media_id").as[Long].collect().toSeq == Seq(0L))
   }
 
   test("resizeImages: real rescale to target dims, dup structure preserved, non-images untouched") {
