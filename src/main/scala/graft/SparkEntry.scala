@@ -113,6 +113,32 @@ object SparkEntry {
       .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
   }
 
+  /** Span-dedup corpus: base documents plus (a) EXACT later copies
+    * (doc_id + 10^6) of every doc_id ≡ 1 (mod 25) — the whole copy is a
+    * duplicated span, so it must come back fully cut — and (b) later
+    * docs (doc_id + 2·10^6) of every doc_id ≡ 2 (mod 25) that share the
+    * base text as a PREFIX but append a unique tail token — only the
+    * shared prefix is cut, the tail survives. Owners (the base docs)
+    * must come back intact. */
+  private def spanDupDocuments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = readT(s, dir, "documents").select($"doc_id", $"text")
+    base
+      .unionByName(base.filter($"doc_id" % 25 === 1)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+      .unionByName(base.filter($"doc_id" % 25 === 2)
+        .select(($"doc_id" + 2000000L).as("doc_id"),
+          concat($"text", lit(" uniqtail"), $"doc_id".cast("string")).as("text")))
+  }
+
+  /** DuckDB rendering of [[spanDupDocuments]] (single-line for the same
+    * stripMargin reason as [[piiDocsSql]]). */
+  private val spanDupDocsSql: String =
+    "SELECT doc_id, text FROM documents " +
+      "UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 25 = 1 " +
+      "UNION ALL SELECT doc_id + 2000000 AS doc_id, text || ' uniqtail' || CAST(doc_id AS VARCHAR) AS text " +
+      "FROM documents WHERE doc_id % 25 = 2"
+
   /** DuckDB rendering of [[plantedPiiDocuments]]. Kept single-line so
     * embedding it inside another stripMargin'd SQL string can't eat a
     * line-leading `||` operator's first pipe. */
@@ -433,6 +459,14 @@ object SparkEntry {
       val docs = readT(s, dir, "documents")
       Decontaminate.cutSpans(s, docs, docs.filter($"doc_id" % 97 === 0), n = 13)
     }),
+    // corpus-internal ExactSubstr remediation: cut every token covered
+    // by a 13-gram occurring in >= 2 docs, EXCEPT in the gram's
+    // first-writer (min doc_id) — over the span-dup corpus (exact later
+    // copies come back fully cut, shared-prefix docs lose exactly the
+    // prefix, owners come back intact). Full row-level oracle: DuckDB
+    // recomputes ownership from the gram STRINGS and replays the cut.
+    "q_substr_cut" -> ((s, dir) =>
+      SpanDedup.cutDuplicateSpans(s, spanDupDocuments(s, dir), n = 13)),
     // PII counts over the planted-PII corpus (planted rows non-vacuous,
     // untouched rows assert zero false positives); DuckDB runs the
     // IDENTICAL RE2-safe regexes.
@@ -961,6 +995,34 @@ object SparkEntry {
         |    x -> x IS NOT NULL), ' '), '') AS cut_text,
         |  CAST(coalesce(len(hits.hp), 0) AS BIGINT) AS n_hit_grams
         |FROM t LEFT JOIN hits USING (doc_id)""".stripMargin,
+    // corpus-internal span dedup: ownership recomputed from the gram
+    // STRINGS (min doc_id over distinct docs per gram; only grams in
+    // >= 2 docs cut), then the q_decon_cut window-cut replay
+    "q_substr_cut" ->
+      s"""WITH d AS ($spanDupDocsSql),
+         |t AS (
+         |  SELECT doc_id, string_split(
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM d),
+         |gi AS (SELECT doc_id, unnest(range(1, len(toks) - 11)) AS i
+         |       FROM t WHERE len(toks) >= 13),
+         |g AS (SELECT gi.doc_id, gi.i - 1 AS pos,
+         |        array_to_string(t.toks[gi.i:gi.i+12], ' ') AS gram
+         |      FROM gi JOIN t USING (doc_id)),
+         |own AS (SELECT gram, min(doc_id) AS owner, count(DISTINCT doc_id) AS n_docs
+         |        FROM g GROUP BY gram),
+         |hits AS (SELECT g.doc_id, list_sort(list(pos)) AS hp
+         |         FROM g JOIN own USING (gram)
+         |         WHERE own.n_docs >= 2 AND g.doc_id <> own.owner
+         |         GROUP BY g.doc_id)
+         |SELECT t.doc_id,
+         |  coalesce(array_to_string(list_filter(list_transform(range(1, len(toks) + 1),
+         |    i -> CASE WHEN len(list_filter(coalesce(hits.hp, []::BIGINT[]),
+         |                     p -> p <= i - 1 AND i - 1 < p + 13)) = 0
+         |         THEN toks[i] END),
+         |    x -> x IS NOT NULL), ' '), '') AS cut_text,
+         |  CAST(coalesce(len(hits.hp), 0) AS BIGINT) AS n_hit_grams
+         |FROM t LEFT JOIN hits USING (doc_id)""".stripMargin,
     "q_pii" -> {
       val pii = TextAnalysis.piiPatterns.toMap
       val (email, ip, phone) = (pii("email"), pii("ip"), pii("phone"))

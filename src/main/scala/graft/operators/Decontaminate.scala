@@ -112,8 +112,21 @@ object Decontaminate {
       spark: SparkSession, train: DataFrame, bench: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       n: Int = 13): DataFrame = {
-    import spark.implicits._
     val spans = contaminationSpans(spark, train, bench, idCol, textCol, n)
+    applyCut(spark, train, spans, idCol, textCol, n)
+  }
+
+  /** The shared cut tail: given per-doc SORTED hit-window start
+    * positions (`spans`: doc_id, hit_pos array — [[contaminationSpans]]
+    * shape), drop every token covered by a window [p, p+n) and return
+    * (doc_id, cut_text, n_hit_grams) for EVERY doc in `docs` (docs
+    * absent from `spans` come back normalized-intact). Consumed by both
+    * benchmark decontamination ([[cutSpans]]) and corpus-internal
+    * duplicate-span remediation ([[SpanDedup.cutDuplicateSpans]]). */
+  private[operators] def applyCut(
+      spark: SparkSession, docs: DataFrame, spans: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    import spark.implicits._
     // \p{javaWhitespace} = Character.isWhitespace — the SAME frame the
     // positional kernel's tokenizer uses. Java-regex \s (ASCII-only)
     // would shift every hit index on a doc containing U+2028/U+3000/…,
@@ -146,7 +159,7 @@ object Decontaminate {
     // lambda site, Catalyst would inline the aggregate into the lambda
     // body and re-run it per TOKEN.
     val spansIv = spans.select($"doc_id", $"hit_pos", intervals.as("iv"))
-    train
+    docs
       .select(col(idCol).as("doc_id"), toks.as("toks"))
       .join(spansIv, Seq("doc_id"), "left")
       .select(

@@ -536,6 +536,32 @@ class TrainingOpsSpec extends SparkSpec {
     assert(out(9L) == "")
   }
 
+  test("corpus-internal span dedup: first writer keeps, later docs lose exactly the shared windows") {
+    import spark.implicits._
+    val s13 = (1 to 13).map(i => s"s$i").mkString(" ")   // the shared 13-gram
+    val t13 = (1 to 13).map(i => s"t$i").mkString(" ")   // repeated WITHIN one doc only
+    val docs = Seq(
+      (0L, s"a1 a2 $s13 b1 b2"),                         // owner (min doc_id) of every shared gram
+      (1L, s"c1 c2 $s13 d1 d2"),                         // shares exactly the one s-window
+      (2L, s"a1 a2 $s13 b1 b2"),                         // exact later copy of doc 0
+      (3L, s"$t13 z1 $t13"),                             // internal repeat, no cross-doc sharing
+      (4L, "q1 a1 a2 " + (1 to 10).map(i => s"s$i").mkString(" ") + " q2") // 12-token overlap < n
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.cutDuplicateSpans(spark, docs, n = 13)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // first writer comes back intact (normalized)
+    assert(out(0L) == ((s"a1 a2 $s13 b1 b2", 0L)))
+    // later doc loses exactly the shared window's 13 tokens, context survives
+    assert(out(1L) == (("c1 c2 d1 d2", 1L)))
+    // an exact later copy is fully cut: all 5 windows of its 17 tokens hit
+    assert(out(2L) == (("", 5L)))
+    // a gram repeated inside ONE doc is not cross-doc duplication
+    assert(out(3L) == ((s"$t13 z1 $t13", 0L)))
+    // runs shorter than n are below the duplication threshold
+    assert(out(4L)._2 == 0L)
+    assert(out.size == 5)
+  }
+
   test("packing treats NULL text as zero tokens (no encoder crash)") {
     import spark.implicits._
     val docs = Seq((0L, "a b c"), (1L, null.asInstanceOf[String]), (2L, "d e"))
@@ -578,6 +604,19 @@ class TrainingOpsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"), plan)
     assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("span dedup plan: equi-joins only, doc text never enters an exchange") {
+    import spark.implicits._
+    val plan = SpanDedup.cutDuplicateSpans(spark, documents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"), plan)
+    // the duplicated-gram side is corpus-dependent — unlike decon's
+    // MB-scale benchmark side it must NOT be planned broadcast-able by
+    // assumption; the shuffles carry (doc_id, pos, gfp) key rows and
+    // the text column stays out of every exchange
+    for (l <- plan.linesIterator if l.contains("Exchange hashpartitioning"))
+      assert(!l.contains("text"), l)
   }
 
   test("piiStats counts and piiScrub redacts each pattern family") {
