@@ -197,9 +197,10 @@ object IvfIndex {
   /** √N auto cell count (the standard IVF sizing rule: expected cell
     * population = candidates re-ranked per probe = √N), floored at 16,
     * capped at 2^16 — past that a driver-sample fit stops being the
-    * right trainer and a hierarchical / distributed k-means should
-    * replace it (documented scale boundary; the assignment and search
-    * passes are shape-identical either way). */
+    * right trainer: use the hierarchical quantizer
+    * ([[fitCentroidsHier]] / [[ivfTopKHier]]), whose leaf fits run
+    * distributed and whose assignment costs S + nCells/S distance
+    * evals per row instead of nCells. */
   private def autoCells(corpus: DataFrame, nCells: Int): Int =
     if (nCells > 0) nCells
     else math.min(65536,
@@ -228,24 +229,24 @@ object IvfIndex {
     val cells = autoCells(corpus, nCells)
     val cents = fitCentroids(spark, corpus, cells, seed,
       sampleN = math.max(4096, 8 * cells))
-    val cands = ivfCandidates(spark, corpus, cents, nProbe, cellCap, None)
+    val keys = probeKeys(spark, corpus, cents, nProbe)
+    val cands = ivfCandidates(spark, keys, cellCap, None)
     EmbeddingSim.rerankTopK(spark, corpus, cands, k)
   }
 
-  /** Shared IVF candidate generation (ivfTopK and pqTopK): nProbe keys
-    * from ONE distance pass, rank-0 capped cell members (optionally
-    * decorated with per-member columns, e.g. PQ codes — joined on the
-    * SMALL capped member list, never the candidate stream), self
-    * excluded, distinct (query_id, vec_id [, extras]). */
+  /** Shared IVF candidate generation (ivfTopK, pqTopK, ivfTopKHier)
+    * over pre-built probe keys ((cell, vec_id, probe_rank) rows,
+    * hash-partitioned on `cell` — [[probeKeys]] / [[probeKeysHier]]
+    * shape): rank-0 capped cell members (optionally decorated with
+    * per-member columns, e.g. PQ codes — joined on the SMALL capped
+    * member list, never the candidate stream), self excluded, distinct
+    * (query_id, vec_id [, extras]). */
   private def ivfCandidates(
       spark: SparkSession,
-      corpus: DataFrame,
-      cents: Array[Array[Double]],
-      nProbe: Int,
+      keys: DataFrame,
       cellCap: Int,
       memberExtra: Option[DataFrame]): DataFrame = {
     import spark.implicits._
-    val keys = probeKeys(spark, corpus, cents, nProbe)
     val members0 = EmbeddingSim.capSortedByKey(spark,
       keys.filter($"probe_rank" === 0).select($"cell".as("bucket"), $"vec_id"), cellCap)
       .withColumnsRenamed(Map("bucket" -> "cell"))
@@ -284,6 +285,219 @@ object IvfIndex {
       }
       .toDF("cell", "vec_id", "probe_rank")
       .repartition(parts, $"cell")
+  }
+
+  // ------------- hierarchical coarse quantizer (nCells > 2^16) -------------
+
+  /** Two-level coarse quantizer: `superCents(s)` routes to a super-cell,
+    * `subCents(s)` holds that super-cell's leaf centroids; leaf cell id
+    * = offsets(s) + sub-index (dense, stable under the fit's
+    * deterministic ordering). Lifts the flat fit's documented 2^16
+    * boundary ([[autoCells]]): the driver never holds more than the
+    * super-cell sample — every leaf fit runs ON EXECUTORS — so nCells
+    * scales to the √N ≈ 10^6 cells a 10^12-vector corpus wants.
+    *
+    * `flatten` interops with the flat-model consumers while the full
+    * matrix is broadcast-sized; past that, use the two-level paths
+    * ([[assignCellsHier]] / [[ivfTopKHier]]), which also cut per-row
+    * assignment cost from nCells to S + nCells/S distance evals.
+    *
+    * Two-level assignment is the standard hierarchical trade-off (the
+    * FAISS IMI shape): a vector near a super-cell boundary may land in
+    * a non-global-argmin leaf. Determinism is unconditional — both
+    * levels tie-break to the lowest index — so identical vectors always
+    * share a leaf, which is the contract [[semanticDedup]] and the
+    * recall-floor oracles rely on. */
+  final case class HierCentroids(
+      superCents: Array[Array[Double]],
+      subCents: Array[Array[Array[Double]]]) {
+    val offsets: Array[Int] = subCents.scanLeft(0)(_ + _.length).init
+    def nCells: Int = offsets.last + subCents.last.length
+    def flatten: Array[Array[Double]] = subCents.flatten
+  }
+
+  /** Fit cost (the boundary this lifts): level 1 is the flat driver fit
+    * at S = `superCells`; level 2 routes a deterministic hash-threshold
+    * corpus sample to super-cells in ONE narrow pass and runs an
+    * independent Lloyd per super-cell inside `mapGroups` — per-task
+    * memory is the group's bounded sample (≤ 8·(nCells/S) vectors, kept
+    * by a worst-first heap on (xxhash64(vec_id, seed), vec_id) so the
+    * retained sample is a pure function of the data, not of iterator
+    * order). Only the fitted centroids return to the driver
+    * (nCells·dim doubles — the model itself, unavoidable). Super-cells
+    * the sample never reaches keep their super-centroid as a single
+    * leaf, so routing never drops a region of the space. */
+  def fitCentroidsHier(
+      spark: SparkSession,
+      corpus: DataFrame,
+      nCells: Int,
+      seed: Long = 42L,
+      superCells: Int = 256,
+      samplePerCell: Int = 8,
+      iters: Int = 8): HierCentroids = {
+    import spark.implicits._
+    require(nCells >= superCells, s"fitCentroidsHier: nCells $nCells < superCells $superCells")
+    val superC = fitCentroids(spark, corpus, superCells, seed,
+      sampleN = math.max(4096, 8 * superCells), iters)
+    val s = superC.length
+    val kSub = (nCells + s - 1) / s
+    val groupCap = math.max(64, samplePerCell * kSub)
+    // deterministic hash-threshold sample sized to samplePerCell·nCells
+    // total vectors (one cheap count; frac = 1 keeps everything)
+    val n = math.max(corpus.count(), 1L)
+    val permille = math.min(1000L,
+      (samplePerCell.toLong * nCells * 1000 + n - 1) / n)
+    val bc = spark.sparkContext.broadcast(superC)
+    val heapOrd = Ordering.Tuple2(Ordering.Long, Ordering.Long)
+    val fitted = corpus
+      .select($"vec_id", $"embedding",
+        pmod(xxhash64($"vec_id", lit(seed)), lit(1000L)).as("hsel"))
+      .filter($"hsel" < permille)
+      .select($"vec_id", $"embedding", xxhash64($"vec_id", lit(seed + 1)).as("hord"))
+      .as[(Long, Seq[Float], Long)]
+      .map { case (id, v, hord) =>
+        val vd = new Array[Double](v.length)
+        var d = 0
+        while (d < v.length) { vd(d) = v(d); d += 1 }
+        (nearestCell(vd, bc.value), id, hord, vd)
+      }
+      .groupByKey(_._1)
+      .mapGroups { (sup, it) =>
+        // bounded deterministic per-group sample: keep the groupCap rows
+        // minimizing (hord, vec_id) — iterator order cannot matter
+        val heap = scala.collection.mutable.PriorityQueue
+          .empty[(Long, Long)](heapOrd) // worst-first
+        val kept = scala.collection.mutable.HashMap.empty[(Long, Long), Array[Double]]
+        for ((_, id, hord, vd) <- it) {
+          val key = (hord, id)
+          if (heap.size < groupCap) { heap.enqueue(key); kept(key) = vd }
+          else if (heapOrd.lt(key, heap.head)) {
+            kept.remove(heap.dequeue()); heap.enqueue(key); kept(key) = vd
+          }
+        }
+        val sample = kept.toArray.sortBy(_._1)(heapOrd).map(_._2)
+        (sup, lloyd(sample, kSub, iters))
+      }
+      .collect()
+      .toMap
+    // unreached super-cells keep their super-centroid as one leaf
+    HierCentroids(superC,
+      Array.tabulate(s)(i => fitted.getOrElse(i, Array(superC(i)))))
+  }
+
+  /** Two-level nearest leaf: argmin super-cell, then argmin leaf inside
+    * it — S + |leaves(s)| distance evals instead of nCells. */
+  private def nearestCellHier(v: Array[Double], m: HierCentroids): Long = {
+    val sup = nearestCell(v, m.superCents)
+    (m.offsets(sup) + nearestCell(v, m.subCents(sup))).toLong
+  }
+
+  /** `nProbe` nearest leaves drawn from the TWO nearest super-cells
+    * (multi-probe across the super boundary — a vector sitting on a
+    * super-cell edge still probes its true neighbors' region), ascending
+    * by (distance, leaf id); ties to the lower leaf, matching
+    * [[nearestCellHier]]'s scan-order rule. */
+  private def nearestCellsHier(
+      v: Array[Double], m: HierCentroids, nProbe: Int): Array[Long] = {
+    val sups = nearestCells(v, m.superCents, math.min(2, m.superCents.length))
+    var total = 0
+    for (sup <- sups) total += m.subCents(sup).length
+    val k = math.min(nProbe, total)
+    val bestD = Array.fill(k)(Double.MaxValue)
+    val bestC = Array.fill(k)(-1L)
+    for (sup <- sups) {
+      val subs = m.subCents(sup)
+      val off = m.offsets(sup)
+      var c = 0
+      while (c < subs.length) {
+        val cent = subs(c)
+        var d2 = 0.0
+        var d = 0
+        while (d < cent.length && d < v.length) {
+          val diff = v(d) - cent(d)
+          d2 += diff * diff
+          d += 1
+        }
+        if (d2 < bestD(k - 1)) {
+          var i = k - 1
+          while (i > 0 && d2 < bestD(i - 1)) {
+            bestD(i) = bestD(i - 1); bestC(i) = bestC(i - 1); i -= 1
+          }
+          bestD(i) = d2; bestC(i) = off + c
+        }
+        c += 1
+      }
+    }
+    bestC.filter(_ >= 0)
+  }
+
+  /** (cell: long, vec_id: long) two-level assignment — same narrow
+    * one-pass shape as [[assignCells]] with the hierarchical model
+    * broadcast. */
+  def assignCellsHier(
+      spark: SparkSession,
+      corpus: DataFrame,
+      model: HierCentroids): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    corpus.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val m = bc.value
+        rows.map { case (id, v) =>
+          val vd = new Array[Double](v.length)
+          var d = 0
+          while (d < v.length) { vd(d) = v(d); d += 1 }
+          (nearestCellHier(vd, m), id)
+        }
+      }
+      .toDF("cell", "vec_id")
+  }
+
+  /** [[probeKeys]] over the hierarchical model: same
+    * (cell, vec_id, probe_rank) schema and pinned `cell` exchange, so
+    * [[ivfCandidates]] consumes it unchanged. */
+  private def probeKeysHier(
+      spark: SparkSession,
+      corpus: DataFrame,
+      model: HierCentroids,
+      nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    corpus.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .mapPartitions { rows =>
+        val m = bc.value
+        rows.flatMap { case (id, v) =>
+          val vd = new Array[Double](v.length)
+          var d = 0
+          while (d < v.length) { vd(d) = v(d); d += 1 }
+          val near = nearestCellsHier(vd, m, nProbe)
+          Iterator.tabulate(near.length)(r => (near(r), id, r))
+        }
+      }
+      .toDF("cell", "vec_id", "probe_rank")
+      .repartition(parts, $"cell")
+  }
+
+  /** IVF ANN top-k through the hierarchical quantizer — the nCells >
+    * 2^16 path ([[ivfTopK]]'s plan shape otherwise: one keying pass,
+    * one pinned `cell` exchange, capped members, exact re-rank).
+    * probe_rank 0 is the vector's own leaf under two-level assignment,
+    * so membership and probing agree by construction. */
+  def ivfTopKHier(
+      spark: SparkSession,
+      corpus: DataFrame,
+      k: Int = 10,
+      nCells: Int = 0,
+      nProbe: Int = 2,
+      seed: Long = 42L,
+      cellCap: Int = 4096,
+      superCells: Int = 256): DataFrame = {
+    val cells = math.max(autoCells(corpus, nCells), superCells)
+    val model = fitCentroidsHier(spark, corpus, cells, seed, superCells)
+    val keys = probeKeysHier(spark, corpus, model, nProbe)
+    val cands = ivfCandidates(spark, keys, cellCap, None)
+    EmbeddingSim.rerankTopK(spark, corpus, cands, k)
   }
 
   /** SemDeDup-style semantic dedup: drop a vector when a lower-id
@@ -487,7 +701,8 @@ object IvfIndex {
     val qEmb = corpus.select($"vec_id".as("query_id"),
       $"embedding".cast("array<double>").as("q_emb"))
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val cands = ivfCandidates(spark, corpus, cents, nProbe, cellCap, Some(codes))
+    val cands = ivfCandidates(spark, probeKeys(spark, corpus, cents, nProbe),
+      cellCap, Some(codes))
 
     // join the query embedding AFTER the candidate exchange, with both
     // sides co-partitioned on query_id: the per-candidate shuffle ships

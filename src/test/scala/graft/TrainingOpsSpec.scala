@@ -336,6 +336,43 @@ class TrainingOpsSpec extends SparkSpec {
     assert(top.filter($"rank" < 1 || $"rank" > 3).count() == 0)
   }
 
+  test("hierarchical IVF: fit past the 2^16 flat-cell boundary, twins found at rank 1") {
+    import spark.implicits._
+    // 240k deterministic hash-spread vectors, dim 4 — big enough that a
+    // two-level fit materializes > 2^16 leaf cells (the flat driver fit
+    // is explicitly capped there)
+    val base = spark.range(240000).select($"id".as("vec_id"),
+      array((0 until 4).map(d =>
+        (pmod(xxhash64($"id", lit(d)), lit(1000)).cast("float") / 500f - 1f)
+          .cast("float")): _*)
+        .as("embedding"))
+    val model = IvfIndex.fitCentroidsHier(spark, base, nCells = 70016,
+      seed = 42L, superCells = 64)
+    assert(model.nCells > 65536, s"hier fit produced ${model.nCells} cells")
+    assert(model.offsets.length == model.superCents.length)
+    // identical vectors always share a leaf (two-level ties break to the
+    // lowest index at both levels)
+    val twins = base.filter($"vec_id" % 800 === 3)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val corpus = base.unionByName(twins)
+    val assigned = IvfIndex.assignCellsHier(spark, corpus, model)
+    assert(assigned.agg(org.apache.spark.sql.functions.max($"cell")).as[Long].head() < model.nCells)
+    val twinCells = assigned
+      .withColumn("orig", when($"vec_id" >= 1000000L, $"vec_id" - 1000000L).otherwise($"vec_id"))
+      .filter($"orig" % 800 === 3)
+      .groupBy($"orig").agg(countDistinct($"cell").as("nc"))
+    assert(twinCells.filter($"nc" =!= 1).count() == 0, "identical vectors split across leaves")
+    // end-to-end: every planted identical twin at rank 1, both directions
+    val top1 = IvfIndex.ivfTopKHier(spark, corpus, k = 1, nCells = 70016,
+      nProbe = 2, superCells = 64)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    for (id <- 3L until 240000L by 800L) {
+      assert(top1.get(id).contains(id + 1000000L), s"twin of $id not at rank 1")
+      assert(top1.get(id + 1000000L).contains(id), s"twin of ${id + 1000000L} not at rank 1")
+    }
+  }
+
   test("ANN recall audit: both indexes near-perfect on a noisy clustered corpus") {
     import spark.implicits._
     // 1% per-dim noise around 40 cluster centers: truth top-5 are
