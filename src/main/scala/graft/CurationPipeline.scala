@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Curate, SpanDedup}
+import graft.sources.{Layout, TableStore}
+
+/** Committed, resumable CURATION pipeline — the release-run counterpart
+  * of [[Pipeline]] (which covers the dedup/restore stages): the round-4
+  * curation surface (per-axis verdicts + corpus-internal span
+  * remediation) wired through the same TableStore stage discipline, so
+  * a killed curation run resumes from the last committed stage and
+  * every stage's counters ride its own write job via `observe()` — on a
+  * RESUMED stage the counters are re-derived from the committed tables
+  * (no -1 placeholders anywhere, fresh or resumed).
+  *
+  * Stages (each = one atomic manifest commit):
+  *   cur_verdict  one row per input doc: the five per-axis booleans +
+  *                `keep` ([[Curate.report]]) — the release's loss-rate
+  *                accounting table
+  *   cur_corpus   the released text: docs passing `keep`, with
+  *                cross-doc duplicated spans cut (first writer keeps —
+  *                [[SpanDedup.cutDuplicateSpans]]); rows are
+  *                (doc_id, text, n_hit_grams) where `text` is the
+  *                normalized post-cut text
+  *   cur_metrics  the stage-metrics table itself
+  *
+  * Physical layout: both data tables hash-partition on `pbucket`
+  * (64-way doc_id hash — same point-write story as [[Pipeline]]'s
+  * conv_id buckets) and the corpus sorts by doc_id within files.
+  */
+object CurationPipeline {
+
+  def pbucket(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(xxhash64(docId), lit(Pipeline.NumBuckets.toLong)).cast("int")
+
+  val VerdictLayout: Layout = Layout(Seq("pbucket"), Seq("doc_id"))
+  val CorpusLayout: Layout = Layout(Seq("pbucket"), Seq("doc_id"))
+
+  final case class Result(
+      verdict: DataFrame,
+      curated: DataFrame,
+      metrics: DataFrame)
+
+  /** `docs`/`bench`: (doc_id: long, text: string) frames — bench is the
+    * eval set the decon axis guards against. */
+  def run(
+      spark: SparkSession,
+      docs: DataFrame,
+      bench: DataFrame,
+      storeRoot: String,
+      minQuality: Long = 60L,
+      n: Int = 13): Result = {
+    import spark.implicits._
+    val store = new TableStore(storeRoot)
+    val metricsBuf = scala.collection.mutable.ArrayBuffer.empty[StageMetrics]
+
+    // same stage/metrics discipline as Pipeline.runStages
+    def timed[T](stage: String, obs: Observation)(
+        resumedFallback: => (Long, Long, Long))(body: => T): T = {
+      val resumed = store.isCommitted(stage)
+      val t0 = System.nanoTime()
+      val r = body
+      val wall = (System.nanoTime() - t0) / 1000000
+      val m: Map[String, Any] = if (resumed) Map.empty else obs.get
+      def metric(k: String): Long = m.get(k) match {
+        case Some(x: Number) => x.longValue
+        case _ => -1L
+      }
+      val (ri, ro, dp) =
+        if (m.nonEmpty) (metric("rows_in"), metric("rows_out"), metric("dup_pairs"))
+        else resumedFallback
+      metricsBuf += StageMetrics(stage, ri, ro, dp, wall)
+      r
+    }
+
+    val obsVerdict = Observation()
+    val verdictOut = timed("cur_verdict", obsVerdict)({
+      // report is row-preserving (one verdict per doc), so rows_in =
+      // rows_out = the committed table's count; dup_pairs (docs the
+      // release drops) is one boolean-column scan
+      val committed = store.read(spark, "cur_verdict", "verdict")
+      val nRows = committed.count()
+      (nRows, nRows, committed.filter(!$"keep").count())
+    }) {
+      store.stage(spark, "cur_verdict", Seq("verdict"),
+        Map("verdict" -> VerdictLayout)) {
+        Map("verdict" -> Curate.report(spark, docs, bench,
+            minQuality = minQuality, n = n)
+          .withColumn("pbucket", pbucket($"doc_id"))
+          .observe(obsVerdict,
+            count(lit(1)).as("rows_in"),
+            count(lit(1)).as("rows_out"),
+            sum(when($"keep", 0L).otherwise(1L)).as("dup_pairs")))
+      }
+    }
+
+    val obsCorpus = Observation()
+    val curatedOut = timed("cur_corpus", obsCorpus)({
+      // the cut is row-preserving over the kept docs, so rows_in =
+      // rows_out = the committed corpus count; dup_pairs (docs that
+      // lost spans) is one integer-column scan
+      val committed = store.read(spark, "cur_corpus", "curated")
+      val nRows = committed.count()
+      (nRows, nRows, committed.filter($"n_hit_grams" > 0).count())
+    }) {
+      store.stage(spark, "cur_corpus", Seq("curated"),
+        Map("curated" -> CorpusLayout)) {
+        val kept = docs.join(
+          verdictOut("verdict").filter($"keep").select($"doc_id"),
+          Seq("doc_id"), "left_semi")
+        Map("curated" -> SpanDedup.cutDuplicateSpans(spark, kept, n = n)
+          .select($"doc_id", $"cut_text".as("text"), $"n_hit_grams")
+          .withColumn("pbucket", pbucket($"doc_id"))
+          .observe(obsCorpus,
+            count(lit(1)).as("rows_in"),
+            count(lit(1)).as("rows_out"),
+            sum(when($"n_hit_grams" > 0, 1L).otherwise(0L)).as("dup_pairs")))
+      }
+    }
+
+    val obsMetrics = Observation()
+    val metrics = timed("cur_metrics", obsMetrics)(
+      (metricsBuf.size.toLong, metricsBuf.size.toLong, 0L)) {
+      store.stage(spark, "cur_metrics", Seq("metrics")) {
+        Map("metrics" -> spark.createDataFrame(metricsBuf.toSeq)
+          .observe(obsMetrics,
+            count(lit(1)).cast("long").as("rows_in"),
+            count(lit(1)).cast("long").as("rows_out"),
+            lit(0L).cast("long").as("dup_pairs")))
+      }
+    }
+
+    Result(
+      verdict = verdictOut("verdict"),
+      curated = curatedOut("curated"),
+      metrics = metrics("metrics"))
+  }
+}
