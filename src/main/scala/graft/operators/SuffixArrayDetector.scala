@@ -68,11 +68,24 @@ object SuffixArrayDetector {
 
   /** All (doc_a < doc_b) pairs sharing an exact run of ≥ cfg.substrQ
     * tokens (same tokenization as the winnowed detector:
-    * [[Hashing.tokens]] — lowercased maximal non-whitespace runs). */
-  def dupPairs(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): Dataset[DupPair] = {
+    * [[Hashing.tokens]] — lowercased maximal non-whitespace runs).
+    *
+    * `maxTokens` (hard ceiling 2^22 — the suffix-id encoding reserves
+    * 22 position bits): a LONGER doc degrades to its first `maxTokens`
+    * tokens and is counted + logged, it does NOT kill the job — an
+    * executor-side throw on one pathological document would take down
+    * the whole audit pass, and degrade-one-row is the engine-wide
+    * convention (Multimodal treats corrupt payloads the same way).
+    * Truncation can only LOSE pairs whose every shared run lies past
+    * the cut, which the log line makes auditable. */
+  def dupPairs(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig,
+      maxTokens: Int = 1 << 22): Dataset[DupPair] = {
     import spark.implicits._
     val L = cfg.substrQ
     require(L >= 2, s"substrQ must be >= 2, got $L")
+    require(maxTokens >= L && maxTokens <= (1 << 22),
+      s"maxTokens must be in [$L, 2^22], got $maxTokens")
+    val truncAcc = spark.sparkContext.longAccumulator("suffix_array_truncated_docs")
     val w1 = Integer.highestOneBit(L)
 
     // ---- dense doc ids (two tiny jobs over the distinct-doc set) ----
@@ -103,9 +116,13 @@ object SuffixArrayDetector {
         it.flatMap { row =>
           val did = base + i
           i += 1
-          val toks = Hashing.tokens(row.getString(1))
-          require(toks.length < (1 << 22),
-            s"doc ${row.getString(0)} has ${toks.length} tokens (max 2^22 for suffix ids)")
+          val toks0 = Hashing.tokens(row.getString(1))
+          // degrade, don't fail: an oversized doc contributes its prefix
+          // and is counted (see the maxTokens scaladoc)
+          val toks = if (toks0.length > maxTokens) {
+            truncAcc.add(1)
+            toks0.take(maxTokens)
+          } else toks0
           toks.iterator.zipWithIndex.map { case (t, p) => (did, p, t) }
         }
       }
@@ -178,6 +195,11 @@ object SuffixArrayDetector {
         lit("suffix_array").as("detector"), lit(1.0).as("score"))
       .as[DupPair]
       .localCheckpoint(true)
+    // `out` is materialized (localCheckpoint above), so the accumulator
+    // is final here; the count makes prefix-only coverage auditable
+    if (truncAcc.value > 0)
+      System.err.println(s"[suffix_array] truncated ${truncAcc.value} doc(s) " +
+        s"to their first $maxTokens tokens (shared runs past the cut are not linked)")
     suffixes.unpersist(false)
     docIds.unpersist(false)
     // checkpointed blocks are untracked by the cache manager — retire

@@ -99,4 +99,30 @@ class SuffixArraySpec extends SparkSpec {
     assert(sa == bruteForce(texts, cfg.substrQ))
     docs.unpersist()
   }
+
+  test("oversized doc degrades to its prefix (counted), it does not kill the job") {
+    import spark.implicits._
+    val run8 = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val tail8 = "z1 z2 z3 z4 z5 z6 z7 z8"
+    // doc a: 100 tokens; shares run8 inside the 64-token cut and tail8
+    // ENTIRELY past it (positions 80+). Under the old executor-side
+    // require this input killed the whole job; now a contributes its
+    // first 64 tokens: (a,b) is still linked, (a,c) is lost — the
+    // documented, logged degradation.
+    val texts = Map(
+      "a" -> (s"$run8 " + (1 to 72).map(i => s"f$i").mkString(" ") + s" $tail8 pad1 pad2 pad3 pad4"),
+      "b" -> s"left context $run8 right side",
+      "c" -> s"other words $tail8 trailing here")
+    val cfg = DedupConfig.default.copy(substrQ = 8)
+    val pairs = SuffixArrayDetector.dupPairs(spark, mkDocs(texts), cfg, maxTokens = 64)
+      .toDF.select(least($"doc_a", $"doc_b"), greatest($"doc_a", $"doc_b"))
+      .as[(String, String)].collect().toSet
+    assert(pairs == Set(("a", "b")))
+    // the same input UNCAPPED links both (sanity that the loss above is
+    // the truncation, not the corpus)
+    val full = SuffixArrayDetector.dupPairs(spark, mkDocs(texts), cfg)
+      .toDF.select(least($"doc_a", $"doc_b"), greatest($"doc_a", $"doc_b"))
+      .as[(String, String)].collect().toSet
+    assert(full == Set(("a", "b"), ("a", "c")))
+  }
 }
