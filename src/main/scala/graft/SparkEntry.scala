@@ -373,6 +373,26 @@ object SparkEntry {
       Clustering.assign(s, docs, pairs, DedupConfig.default).toDF
         .select($"conv_id", $"cluster_id", $"representative", $"is_representative")
     }),
+    // score-ranked representative re-election over the planted
+    // clusters: rep = argmax(score, tiebreak min conv_id) per cluster.
+    // Fixture score = token count (longest-copy-wins, a standard
+    // curation rule) — the planted copy appends one token, so it MUST
+    // win every planted cluster's election while the first-writer rule
+    // (q_cluster_planted_members) keeps the original: the two queries
+    // together pin that the election actually re-ranks. The oracle
+    // recomputes every assembled doc's token count from scratch and
+    // replays the argmax.
+    "q_cluster_rep_quality" -> ((s, dir) => {
+      import s.implicits._
+      val docs = DocAssembly.assemble(s, plantedTranscriptsView(s, dir))
+      val pairs = ExactDedup.docDupPairs(s, docs.toDF).as[DupPair]
+        .unionByName(FusedDetectors.dupPairs(s, docs, DedupConfig.default))
+      val assigns = Clustering.assign(s, docs, pairs, DedupConfig.default)
+      val scores = docs.toDF.select($"conv_id",
+        TextAnalysis.tokenCount($"doc_text").cast("long").as("score"))
+      Clustering.electRepresentative(s, assigns, scores, scoreCol = "score").toDF
+        .select($"conv_id", $"cluster_id", $"representative", $"is_representative")
+    }),
     // full-oracle over the RAW corpus: the sf data is dup-free, so the
     // exact expected output is "every conversation is its own singleton
     // cluster and representative" — the same SQL as
@@ -436,6 +456,49 @@ object SparkEntry {
       Sampling.stratified(readT(s, dir, "documents"), "doc_id", "lang",
         Map("en" -> 200, "zh" -> 500), defaultPermille = 50)
         .select($"doc_id", $"lang")
+    }),
+    // temperature (T=2) mixture rebalancing: per-language keep rate
+    // floor(400 * sqrt(n_min/n_s)) ‰ on pmod(doc_id, 1000) — α = 1/2
+    // keeps the rate IEEE-correctly-rounded (sqrt + division only), so
+    // DuckDB re-derives the subset bit-for-bit
+    "q_sample_temperature" -> ((s, dir) => {
+      import s.implicits._
+      Sampling.temperatureT2(readT(s, dir, "documents"), "doc_id", "lang",
+        basePermille = 400)
+        .select($"doc_id", $"lang")
+    }),
+    // reproducible global corpus shuffle: order key md5("s1:" || id),
+    // realized as range partitioning + in-partition sort (no global
+    // rank column); the oracle recomputes the identical key
+    "q_shuffle_seeded" -> ((s, dir) => {
+      import s.implicits._
+      CorpusOrder.seeded(readT(s, dir, "documents").select($"doc_id"),
+        "doc_id", seed = "s1", numPartitions = Some(8))
+        .select($"doc_id", $"shuffle_key")
+    }),
+    // percentile gate: keep the top 200‰ of documents by quality
+    // score (ties at the cut all kept — threshold semantics). The
+    // engine computes the cut from a driver-sized score histogram;
+    // the oracle re-derives it with a window cumsum and replays the
+    // filter.
+    "q_top_fraction" -> ((s, dir) => {
+      import s.implicits._
+      val q = TextAnalysis.qualityScore(readT(s, dir, "documents"))
+        .select($"doc_id", $"quality_score")
+      TopFraction.keep(s, q, "quality_score", keepPermille = 200)
+    }),
+    // model-based quality filtering: linear term-weight model applied
+    // via broadcast vocab join + partial-agg mean. The fixture model's
+    // weight is a pure function of the term ((len-5)×1000, bias 0), so
+    // the oracle recomputes every doc's logit from the token strings
+    // while the engine exercises the real weight-TABLE join path.
+    "q_quality_model" -> ((s, dir) => {
+      import s.implicits._
+      val docs = readT(s, dir, "documents")
+      val weights = QualityModel.vocabulary(docs, "text")
+        .withColumn("weight_x10000", (length($"term") - 5).cast("long") * 1000L)
+      QualityModel.score(s, docs, "doc_id", "text", weights, biasX10000 = 0L)
+        .select($"doc_id", $"n_tokens", $"logit_x10000", $"keep")
     }),
     // train/eval decontamination: bench set = every doc_id ≡ 0
     // (mod 97) of the SAME corpus (deterministic, SQL-expressible) —
@@ -772,6 +835,48 @@ object SparkEntry {
          |SELECT conv_id || 'd' AS conv_id, conv_id AS cluster_id,
          |       conv_id AS representative, false AS is_representative
          |FROM sel""".stripMargin,
+    // score-ranked re-election: rebuild the planted docs (original +
+    // 'd'-copy with ' zqxv' appended to turn 0), recompute every doc's
+    // token count from scratch, and replay argmax(score, min conv_id)
+    // within each planted cluster — every 'd'-copy is one token longer
+    // than its original, so it MUST win its cluster's election
+    "q_cluster_rep_quality" ->
+      s"""WITH t AS ($transcriptsViewSql),
+         |ids AS (SELECT DISTINCT conv_id FROM t),
+         |sel AS (SELECT conv_id FROM ids
+         |        WHERE CAST(substring(conv_id, 2) AS BIGINT) % 10 = 3),
+         |pt AS (
+         |  SELECT conv_id, turn_idx, text FROM t
+         |  UNION ALL
+         |  SELECT conv_id || 'd' AS conv_id, turn_idx,
+         |         CASE WHEN turn_idx = 0 THEN text || ' zqxv' ELSE text END AS text
+         |  FROM t WHERE CAST(substring(conv_id, 2) AS BIGINT) % 10 = 3),
+         |docs AS (SELECT conv_id, string_agg(text, chr(30) ORDER BY turn_idx) AS text
+         |         FROM pt GROUP BY conv_id),
+         |-- the chr(30) turn separator IS whitespace to the engine's
+         |-- javaWhitespace frame (U+001C..1F are Java whitespace)
+         |-- but NOT to RE2 \\s — collapse both here so turn boundaries
+         |-- are token boundaries in both engines
+         |dn AS (SELECT conv_id,
+         |         trim(regexp_replace(text, '[\\s\\x1e]+', ' ', 'g')) AS ct
+         |       FROM docs),
+         |q AS (SELECT conv_id,
+         |    CAST(CASE WHEN length(ct) = 0 THEN 0
+         |         ELSE length(ct) - length(regexp_replace(ct, ' ', '', 'g')) + 1
+         |         END AS BIGINT) AS qs
+         |  FROM dn),
+         |assign AS (
+         |  SELECT conv_id, conv_id AS cluster_id FROM ids
+         |  UNION ALL
+         |  SELECT conv_id || 'd' AS conv_id, conv_id AS cluster_id FROM sel),
+         |ranked AS (
+         |  SELECT a.conv_id, a.cluster_id, q.qs,
+         |    row_number() OVER (PARTITION BY a.cluster_id ORDER BY q.qs DESC, a.conv_id) AS rn
+         |  FROM assign a JOIN q USING (conv_id)),
+         |reps AS (SELECT cluster_id, conv_id AS representative FROM ranked WHERE rn = 1)
+         |SELECT r.conv_id, r.cluster_id, reps.representative,
+         |  (r.conv_id = reps.representative) AS is_representative
+         |FROM ranked r JOIN reps USING (cluster_id)""".stripMargin,
     "q_doc_fingerprint" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS n_distinct_fp
@@ -786,6 +891,68 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |WHERE doc_id % 1000 < CASE lang WHEN 'en' THEN 200
         |                                WHEN 'zh' THEN 500 ELSE 50 END""".stripMargin,
+    // α = 1/2 rate: sqrt and division are IEEE correctly-rounded in
+    // both engines, so the floor()ed permille rate is bit-identical
+    "q_sample_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_s) AS n_min FROM c),
+        |r AS (SELECT c.lang,
+        |        CAST(floor(400.0 * sqrt(CAST(m.n_min AS DOUBLE) / CAST(c.n_s AS DOUBLE))) AS BIGINT) AS rate
+        |      FROM c, m)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE d.doc_id % 1000 < r.rate""".stripMargin,
+    // percentile-gate oracle: recompute every doc's quality score,
+    // re-derive the cut (smallest score whose top-down cumulative count
+    // reaches ceil(200·N/1000)) with a window cumsum, replay the filter
+    "q_top_fraction" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    CAST($tokenCountSql AS BIGINT) AS n_tokens,
+         |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+         |    length(text) AS len,
+         |    length(regexp_replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', '', 'g')) AS nonsp
+         |  FROM documents),
+         |q AS (SELECT doc_id,
+         |  CAST(least(n_tokens, 100) // 2
+         |    + (CASE WHEN (CASE WHEN n_tokens = 0 THEN 0 ELSE floor(10000.0 * nonsp / n_tokens) END)
+         |            BETWEEN 30000 AND 90000 THEN 30 ELSE 0 END)
+         |    + (CASE WHEN (CASE WHEN len = 0 THEN 0 ELSE floor(10000.0 * n_punct / len) END)
+         |            <= 1500 THEN 20 ELSE 0 END) AS BIGINT) AS quality_score
+         |  FROM f),
+         |h AS (SELECT quality_score AS s, count(*) AS cnt FROM q GROUP BY 1),
+         |t AS (SELECT greatest(1, (200 * sum(cnt) + 999) // 1000) AS target FROM h),
+         |c AS (SELECT max(s) AS cutv
+         |      FROM (SELECT s, sum(cnt) OVER (ORDER BY s DESC) AS cum FROM h), t
+         |      WHERE cum >= t.target)
+         |SELECT doc_id, quality_score FROM q
+         |WHERE quality_score >= (SELECT cutv FROM c)""".stripMargin,
+    // both engines compute the identical lowercase-hex MD5 of the
+    // identical "seed:id" string — the order key is engine-portable
+    "q_shuffle_seeded" ->
+      """SELECT doc_id, md5('s1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents""".stripMargin,
+    // full logit recompute from the token strings: the fixture weight
+    // is (length(term)-5)*1000, so the oracle needs no weight table —
+    // it pins that the engine's broadcast vocab-join + partial-agg
+    // mean equals per-token exact semantics
+    "q_quality_model" ->
+      """WITH norm AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+        |  FROM norm WHERE length(nt) > 0),
+        |agg AS (
+        |  SELECT doc_id, sum((length(term) - 5) * 1000) AS w_sum,
+        |         count(*) AS n
+        |  FROM toks GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_tokens,
+        |  CAST(CASE WHEN a.n IS NULL THEN 0
+        |       ELSE floor(CAST(a.w_sum AS DOUBLE) / a.n) END AS BIGINT) AS logit_x10000,
+        |  (CASE WHEN a.n IS NULL THEN 0
+        |        ELSE floor(CAST(a.w_sum AS DOUBLE) / a.n) END) > 0 AS keep
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q_embed_ann" ->
       """WITH sel AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 3)
         |SELECT CAST(2 * (SELECT count(*) FROM sel) AS BIGINT) AS n_planted,

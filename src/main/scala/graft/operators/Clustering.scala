@@ -58,4 +58,52 @@ object Clustering {
         ($"conv_id" === $"representative").as("is_representative"))
       .as[ClusterAssign]
   }
+
+  /** Re-elect each cluster's representative by a QUALITY score instead
+    * of stream order: keep the member with the highest score,
+    * tie-broken by smallest conv_id. The standard curation refinement
+    * of first-writer-wins — when near-duplicates differ (one copy
+    * truncated, one boilerplate-wrapped), a release wants the best
+    * copy, not the earliest.
+    *
+    * Scale: one broadcast-free join on conv_id (both sides already
+    * hash-partition by it) and one partial-agg groupBy(cluster_id)
+    * carrying 16 B/doc — text is never touched; callers feed any score
+    * (e.g. [[TextAnalysis.qualityScore]]'s column, computed at scan
+    * speed).
+    *
+    * Reference analog: the reference's first-occurrence contract
+    * (/root/reference/src/dedup.c:150-173) is the ts_min order rule in
+    * [[assign]]; this operator generalizes the order key.
+    *
+    * @param scores (conv_id, `scoreCol`) — one row per conv_id;
+    *               missing docs score Long.MinValue + 1 (never elected
+    *               unless the whole cluster is missing; the +1 keeps
+    *               the negation below free of two's-complement
+    *               overflow, where -Long.MinValue == Long.MinValue
+    *               would instead sort missing docs FIRST).
+    */
+  def electRepresentative(
+      spark: SparkSession,
+      assigns: Dataset[ClusterAssign],
+      scores: DataFrame,
+      scoreCol: String = "quality_score"): Dataset[ClusterAssign] = {
+    import spark.implicits._
+    val scored = assigns.toDF
+      .join(scores.select($"conv_id", col(scoreCol).cast("long").as("sc")), Seq("conv_id"), "left")
+      .withColumn("sc", greatest(coalesce($"sc", lit(Long.MinValue + 1)), lit(Long.MinValue + 1)))
+    // min(struct(-score, conv_id)): highest score first, then smallest
+    // conv_id — a single partial-aggregated exchange
+    val reps = scored
+      .groupBy($"cluster_id")
+      .agg(min(struct((-$"sc").as("neg"), $"conv_id")).as("best"))
+      .select($"cluster_id", $"best.conv_id".as("representative"))
+    scored
+      .drop("representative", "is_representative", "sc")
+      .join(reps, Seq("cluster_id"))
+      .select(
+        $"conv_id", $"cluster_id", $"representative",
+        ($"conv_id" === $"representative").as("is_representative"))
+      .as[ClusterAssign]
+  }
 }

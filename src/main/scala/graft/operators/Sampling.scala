@@ -43,4 +43,42 @@ object Sampling {
     }
     df.filter(pmod(col(idCol), lit(1000)) < quota)
   }
+
+  /** Temperature-based mixture rebalancing at T = 2 (α = 1/2): the
+    * standard multilingual-corpus upsampling rule (sample stratum s
+    * with probability ∝ n_s^α), expressed as a deterministic per-item
+    * keep rate so the subset is reproducible and oracle-verifiable.
+    *
+    * Per-item keep rate for stratum s:
+    * {{{ rate_s ‰ = floor(basePermille × sqrt(n_min / n_s)) }}}
+    * — the smallest stratum keeps `basePermille`‰ of its rows, a
+    * stratum 100× larger keeps 10× the rows (not 100×), flattening the
+    * mix exactly as n^(1/2) prescribes. α is fixed at 1/2 because
+    * sqrt and division are IEEE-754 correctly-rounded in every engine
+    * — the rate, and hence the subset, is bit-reproducible across
+    * engines; a general n^(α−1) via pow() is not (libm vs JVM pow may
+    * differ in the last ulp and flip a floor()).
+    *
+    * Scale: one partial-agg count per stratum (rows = #strata), a
+    * broadcast join of that tiny table, and a narrow per-row filter —
+    * no corpus-wide shuffle, text untouched.
+    */
+  def temperatureT2(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      basePermille: Int): DataFrame = {
+    require(basePermille >= 1 && basePermille <= 1000,
+      "basePermille must be in [1, 1000]")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_s"))
+    val nMin = counts.agg(min(col("n_s")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .withColumn("rate_permille",
+        floor(lit(basePermille.toDouble) *
+          sqrt(col("n_min").cast("double") / col("n_s").cast("double"))))
+      .select(col(strataCol), col("rate_permille"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(pmod(col(idCol), lit(1000)) < col("rate_permille"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Percentile gating: keep the best `keepPermille`‰ of a corpus by an
+  * integer score — the selection step that follows model-based scoring
+  * (take the top-k% by classifier logit, the GPT-3/CCNet recipe).
+  *
+  * Semantics: cut = the smallest score c such that |{score ≥ c}| ≥
+  * ceil(keepPermille × N / 1000); keep every row with score ≥ c. Ties
+  * AT the cut are all kept (threshold semantics — the kept count can
+  * exceed the target by the tie mass, never undershoot). Fully
+  * deterministic, no RNG, engine-portable.
+  *
+  * Scale shape: one partial-aggregated groupBy(score) histogram whose
+  * key cardinality is the number of DISTINCT scores — the score must
+  * be an integer fixed-point column with driver-sized cardinality
+  * (quality_score has 101 values; a ×10000 logit a few 100k), the same
+  * driver-sized-model contract as the Bloom filter and IVF codebook
+  * collects. The cut is then a scan-pushable `score >= c` predicate —
+  * at 100 TB: one histogram pass + one filtered scan, no corpus-wide
+  * shuffle, no global sort, no single-partition window.
+  */
+object TopFraction {
+
+  /** @param keepPermille target keep fraction in 1/1000ths, in [1, 1000].
+    * @return rows of `df` with score ≥ the computed cut. */
+  def keep(
+      spark: SparkSession,
+      df: DataFrame,
+      scoreCol: String,
+      keepPermille: Int): DataFrame = {
+    require(keepPermille >= 1 && keepPermille <= 1000,
+      "keepPermille must be in [1, 1000]")
+    val sc = col(scoreCol)
+    // driver-sized histogram: (distinct score, count) — ONE pass
+    val hist = df.groupBy(sc.cast("long").as("s")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(-_._1)
+    if (hist.isEmpty) return df
+    val total = hist.map(_._2).sum
+    val target = math.max(1L, (keepPermille * total + 999L) / 1000L)
+    // walk the histogram from the top score down to the cut
+    var kept = 0L
+    var cut = hist.head._1
+    var i = 0
+    while (i < hist.length && kept < target) {
+      cut = hist(i)._1
+      kept += hist(i)._2
+      i += 1
+    }
+    df.filter(sc >= cut)
+  }
+}
