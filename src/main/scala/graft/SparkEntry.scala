@@ -555,6 +555,18 @@ object SparkEntry {
       val d = plantedCurationDocuments(s, dir)
       Curate.report(s, d, d.filter($"doc_id" % 97 === 0))
     }),
+    // same verdict with the model-scored sixth gate: the engine runs
+    // the real broadcast weight-table join (fixture weight
+    // (len(term)−5)×1000, bias 0), the oracle recomputes every logit
+    // from the token strings
+    "q_curate_model" -> ((s, dir) => {
+      import s.implicits._
+      val d = plantedCurationDocuments(s, dir)
+      val weights = QualityModel.vocabulary(d, "text")
+        .withColumn("weight_x10000", (length($"term") - 5).cast("long") * 1000L)
+      Curate.report(s, d, d.filter($"doc_id" % 97 === 0),
+        model = Some((weights, 0L)))
+    }),
     "q_token_jaccard" -> ((s, dir) => {
       NgramJaccard.pairs(s, readT(s, dir, "documents"),
         "doc_id", "text", n = 1, threshold = 0.5)
@@ -732,6 +744,96 @@ object SparkEntry {
         .limit(100)
     }),
   )
+
+  /** Per-axis recompute of the whole curation verdict (repetition,
+    * PII, quality, first-writer dedup, 13-gram decon — each CTE is the
+    * corresponding single-axis oracle adapted to the curation corpus).
+    * With `withModel`, adds the fixture linear model ((len(term)−5)
+    * ×1000, bias 0 — the q_quality_model oracle's recompute) as the
+    * sixth gate: model_ok = mean token weight > 0, keep ANDs it in. */
+  private def curateOracleSql(withModel: Boolean): String = {
+    val pii = TextAnalysis.piiPatterns.toMap
+    val (email, ip, phone) = (pii("email"), pii("ip"), pii("phone"))
+    val modelCtes = if (!withModel) "" else
+      s""",
+         |mtok AS (SELECT doc_id,
+         |    unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS term
+         |  FROM d WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0),
+         |magg AS (SELECT doc_id, sum((length(term) - 5) * 1000) AS w_sum, count(*) AS n
+         |  FROM mtok GROUP BY doc_id),
+         |ml AS (SELECT d.doc_id,
+         |    ((CASE WHEN magg.n IS NULL THEN 0
+         |       ELSE floor(CAST(magg.w_sum AS DOUBLE) / magg.n) END) > 0) AS model_ok
+         |  FROM d LEFT JOIN magg ON magg.doc_id = d.doc_id)""".stripMargin
+    val modelCol = if (withModel) " ml.model_ok," else ""
+    val modelAnd = if (withModel) " AND ml.model_ok" else ""
+    val modelJoin = if (withModel) "\nJOIN ml ON ml.doc_id = d.doc_id" else ""
+    s"""WITH base AS ($piiDocsSql),
+       |d AS (SELECT * FROM base UNION ALL
+       |      SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 25 = 1),
+       |t AS (SELECT doc_id,
+       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
+       |    length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nlen
+       |  FROM d),
+       |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t WHERE nlen > 0),
+       |freq AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+       |top AS (SELECT doc_id, max(c) AS topc, sum(c) AS nt, count(*) AS nd FROM freq GROUP BY 1),
+       |gr AS (SELECT doc_id, len(gl) AS ng, len(list_distinct(gl)) AS ngd
+       |      FROM (SELECT doc_id,
+       |              list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS gl
+       |            FROM t WHERE nlen > 0 AND len(toks) >= 2)),
+       |rep AS (SELECT t.doc_id,
+       |    ((CASE WHEN coalesce(top.nt, 0) = 0 THEN 0
+       |       ELSE floor(10000.0 * (top.nt - top.nd) / top.nt) END) <= 3000
+       |     AND (CASE WHEN coalesce(top.nt, 0) = 0 THEN 0
+       |       ELSE floor(10000.0 * top.topc / top.nt) END) <= 2500
+       |     AND (CASE WHEN coalesce(gr.ng, 0) = 0 THEN 0
+       |       ELSE floor(10000.0 * (gr.ng - gr.ngd) / gr.ng) END) <= 2000) AS rep_ok
+       |  FROM t LEFT JOIN top USING (doc_id) LEFT JOIN gr USING (doc_id)),
+       |pii AS (SELECT doc_id,
+       |    (coalesce(len(regexp_extract_all(text, '$email')), 0) = 0
+       |     AND coalesce(len(regexp_extract_all(text, '$ip')), 0) = 0
+       |     AND coalesce(len(regexp_extract_all(text, '$phone')), 0) = 0) AS pii_ok
+       |  FROM d),
+       |qf AS (SELECT doc_id,
+       |    CAST($tokenCountSql AS BIGINT) AS n_tokens,
+       |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+       |    length(text) AS len,
+       |    length(regexp_replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', '', 'g')) AS nonsp
+       |  FROM d),
+       |qual AS (SELECT doc_id,
+       |    (least(n_tokens, 100) // 2
+       |     + (CASE WHEN (CASE WHEN n_tokens = 0 THEN 0 ELSE floor(10000.0 * nonsp / n_tokens) END)
+       |            BETWEEN 30000 AND 90000 THEN 30 ELSE 0 END)
+       |     + (CASE WHEN (CASE WHEN len = 0 THEN 0 ELSE floor(10000.0 * n_punct / len) END)
+       |            <= 1500 THEN 20 ELSE 0 END)) >= 60 AS quality_ok
+       |  FROM qf),
+       |canon AS (SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM d)
+       |  GROUP BY ntext),
+       |dt AS (SELECT doc_id,
+       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+       |  FROM d),
+       |dg AS (SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, len(toks) - 11),
+       |      i -> array_to_string(toks[i:i+12], ' ')))) AS gram
+       |  FROM dt WHERE len(toks) >= 13),
+       |bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
+       |hits AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (gram))$modelCtes
+       |SELECT d.doc_id,
+       |  (canon.doc_id IS NOT NULL) AS is_canonical,
+       |  rep.rep_ok, pii.pii_ok,
+       |  (hits.doc_id IS NULL) AS decon_ok,
+       |  qual.quality_ok,$modelCol
+       |  (canon.doc_id IS NOT NULL AND rep.rep_ok AND pii.pii_ok
+       |   AND hits.doc_id IS NULL AND qual.quality_ok$modelAnd) AS keep
+       |FROM d
+       |LEFT JOIN canon ON canon.doc_id = d.doc_id
+       |JOIN rep ON rep.doc_id = d.doc_id
+       |JOIN pii ON pii.doc_id = d.doc_id
+       |JOIN qual ON qual.doc_id = d.doc_id
+       |LEFT JOIN hits ON hits.doc_id = d.doc_id$modelJoin""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_turn_dedup" ->
@@ -1222,78 +1324,11 @@ object SparkEntry {
          |    CASE WHEN rec.fill + t.n_tokens <= 500 THEN rec.fill + t.n_tokens ELSE t.n_tokens END
          |  FROM rec JOIN t ON t.g = rec.g AND t.rn = rec.rn + 1)
          |SELECT g AS pack_group, doc_id, bin AS bin_seq, n_tokens FROM rec""".stripMargin,
-    // per-axis recompute of the whole curation verdict (repetition,
-    // PII, quality, first-writer dedup, 13-gram decon — each CTE is the
-    // corresponding single-axis oracle adapted to the curation corpus)
-    "q_curate" -> {
-      val pii = TextAnalysis.piiPatterns.toMap
-      val (email, ip, phone) = (pii("email"), pii("ip"), pii("phone"))
-      s"""WITH base AS ($piiDocsSql),
-         |d AS (SELECT * FROM base UNION ALL
-         |      SELECT doc_id + 1000000 AS doc_id, text FROM base WHERE doc_id % 25 = 1),
-         |t AS (SELECT doc_id,
-         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks,
-         |    length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS nlen
-         |  FROM d),
-         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t WHERE nlen > 0),
-         |freq AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
-         |top AS (SELECT doc_id, max(c) AS topc, sum(c) AS nt, count(*) AS nd FROM freq GROUP BY 1),
-         |gr AS (SELECT doc_id, len(gl) AS ng, len(list_distinct(gl)) AS ngd
-         |      FROM (SELECT doc_id,
-         |              list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]) AS gl
-         |            FROM t WHERE nlen > 0 AND len(toks) >= 2)),
-         |rep AS (SELECT t.doc_id,
-         |    ((CASE WHEN coalesce(top.nt, 0) = 0 THEN 0
-         |       ELSE floor(10000.0 * (top.nt - top.nd) / top.nt) END) <= 3000
-         |     AND (CASE WHEN coalesce(top.nt, 0) = 0 THEN 0
-         |       ELSE floor(10000.0 * top.topc / top.nt) END) <= 2500
-         |     AND (CASE WHEN coalesce(gr.ng, 0) = 0 THEN 0
-         |       ELSE floor(10000.0 * (gr.ng - gr.ngd) / gr.ng) END) <= 2000) AS rep_ok
-         |  FROM t LEFT JOIN top USING (doc_id) LEFT JOIN gr USING (doc_id)),
-         |pii AS (SELECT doc_id,
-         |    (coalesce(len(regexp_extract_all(text, '$email')), 0) = 0
-         |     AND coalesce(len(regexp_extract_all(text, '$ip')), 0) = 0
-         |     AND coalesce(len(regexp_extract_all(text, '$phone')), 0) = 0) AS pii_ok
-         |  FROM d),
-         |qf AS (SELECT doc_id,
-         |    CAST($tokenCountSql AS BIGINT) AS n_tokens,
-         |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
-         |    length(text) AS len,
-         |    length(regexp_replace(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ', '', 'g')) AS nonsp
-         |  FROM d),
-         |qual AS (SELECT doc_id,
-         |    (least(n_tokens, 100) // 2
-         |     + (CASE WHEN (CASE WHEN n_tokens = 0 THEN 0 ELSE floor(10000.0 * nonsp / n_tokens) END)
-         |            BETWEEN 30000 AND 90000 THEN 30 ELSE 0 END)
-         |     + (CASE WHEN (CASE WHEN len = 0 THEN 0 ELSE floor(10000.0 * n_punct / len) END)
-         |            <= 1500 THEN 20 ELSE 0 END)) >= 60 AS quality_ok
-         |  FROM qf),
-         |canon AS (SELECT min(doc_id) AS doc_id
-         |  FROM (SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS ntext FROM d)
-         |  GROUP BY ntext),
-         |dt AS (SELECT doc_id,
-         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
-         |  FROM d),
-         |dg AS (SELECT doc_id, unnest(list_distinct(
-         |    list_transform(range(1, len(toks) - 11),
-         |      i -> array_to_string(toks[i:i+12], ' ')))) AS gram
-         |  FROM dt WHERE len(toks) >= 13),
-         |bg AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 97 = 0),
-         |hits AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (gram))
-         |SELECT d.doc_id,
-         |  (canon.doc_id IS NOT NULL) AS is_canonical,
-         |  rep.rep_ok, pii.pii_ok,
-         |  (hits.doc_id IS NULL) AS decon_ok,
-         |  qual.quality_ok,
-         |  (canon.doc_id IS NOT NULL AND rep.rep_ok AND pii.pii_ok
-         |   AND hits.doc_id IS NULL AND qual.quality_ok) AS keep
-         |FROM d
-         |LEFT JOIN canon ON canon.doc_id = d.doc_id
-         |JOIN rep ON rep.doc_id = d.doc_id
-         |JOIN pii ON pii.doc_id = d.doc_id
-         |JOIN qual ON qual.doc_id = d.doc_id
-         |LEFT JOIN hits ON hits.doc_id = d.doc_id""".stripMargin
-    },
+    // per-axis recompute of the whole curation verdict — see
+    // [[curateOracleSql]]; the _model variant adds the fixture linear
+    // model as the sixth gate
+    "q_curate" -> curateOracleSql(withModel = false),
+    "q_curate_model" -> curateOracleSql(withModel = true),
     "q_pii_scrub" -> {
       val pii = TextAnalysis.piiPatterns.toMap
       val (email, ip, phone) = (pii("email"), pii("ip"), pii("phone"))

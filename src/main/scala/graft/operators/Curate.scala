@@ -27,11 +27,19 @@ object Curate {
     *  - pii_ok: no email/IP/phone span
     *  - decon_ok: shares no `n`-gram with `bench`
     *  - quality_ok: [[TextAnalysis.qualityScore]] ≥ `minQuality`
-    *  - keep = all of the above */
+    *  - model_ok (only when `model` is given): the linear classifier's
+    *    logit is positive ([[QualityModel.score]]'s `keep`) — the
+    *    model-scored sixth gate (CCNet-style); absent, the output
+    *    schema is unchanged
+    *  - keep = all of the above
+    *
+    * @param model optional (weights-table, bias×10000) for the
+    *              model-scored gate; the weight table broadcasts. */
   def report(
       spark: SparkSession, docs: DataFrame, bench: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      minQuality: Long = 60L, n: Int = 13): DataFrame = {
+      minQuality: Long = 60L, n: Int = 13,
+      model: Option[(DataFrame, Long)] = None): DataFrame = {
     import spark.implicits._
     val rep = TextAnalysis.repetitionFilter(docs, idCol, textCol)
       .select(col(idCol).as("doc_id"), $"keep".as("rep_ok"))
@@ -44,16 +52,28 @@ object Curate {
       .select($"doc_id", lit(true).as("is_canonical"))
     val decon = Decontaminate.contamination(spark, docs, bench, idCol, textCol, n)
       .select($"doc_id", (!$"contaminated").as("decon_ok"))
-    docs.select(col(idCol).as("doc_id"))
+    val base = docs.select(col(idCol).as("doc_id"))
       .join(rep, Seq("doc_id"))
       .join(pii, Seq("doc_id"))
       .join(qual, Seq("doc_id"))
       .join(canon, Seq("doc_id"), "left")
       .join(decon, Seq("doc_id"))
-      .select($"doc_id",
-        coalesce($"is_canonical", lit(false)).as("is_canonical"),
-        $"rep_ok", $"pii_ok", $"decon_ok", $"quality_ok",
-        (coalesce($"is_canonical", lit(false)) &&
-          $"rep_ok" && $"pii_ok" && $"decon_ok" && $"quality_ok").as("keep"))
+    val axesKeep = coalesce($"is_canonical", lit(false)) &&
+      $"rep_ok" && $"pii_ok" && $"decon_ok" && $"quality_ok"
+    model match {
+      case None =>
+        base.select($"doc_id",
+          coalesce($"is_canonical", lit(false)).as("is_canonical"),
+          $"rep_ok", $"pii_ok", $"decon_ok", $"quality_ok",
+          axesKeep.as("keep"))
+      case Some((weights, bias)) =>
+        val m = QualityModel.score(spark, docs, idCol, textCol, weights, bias)
+          .select(col(idCol).as("doc_id"), $"keep".as("model_ok"))
+        base.join(m, Seq("doc_id"))
+          .select($"doc_id",
+            coalesce($"is_canonical", lit(false)).as("is_canonical"),
+            $"rep_ok", $"pii_ok", $"decon_ok", $"quality_ok", $"model_ok",
+            (axesKeep && $"model_ok").as("keep"))
+    }
   }
 }

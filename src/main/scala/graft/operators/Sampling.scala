@@ -59,9 +59,12 @@ object Sampling {
     * engines; a general n^(α−1) via pow() is not (libm vs JVM pow may
     * differ in the last ulp and flip a floor()).
     *
-    * Scale: one partial-agg count per stratum (rows = #strata), a
-    * broadcast join of that tiny table, and a narrow per-row filter —
-    * no corpus-wide shuffle, text untouched.
+    * Scale: one partial-agg count per stratum (the stratum key space —
+    * languages, sources — is driver-sized, the same contract as
+    * [[TopFraction]]'s histogram), then the rates become a LITERAL
+    * when-chain so the returned frame is a pure scan + narrow filter —
+    * no join, no second shuffle, text untouched. Rows with a NULL
+    * stratum are dropped (rate 0).
     */
   def temperatureT2(
       df: DataFrame,
@@ -70,15 +73,17 @@ object Sampling {
       basePermille: Int): DataFrame = {
     require(basePermille >= 1 && basePermille <= 1000,
       "basePermille must be in [1, 1000]")
+    // driver-sized: one row per stratum
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_s"))
-    val nMin = counts.agg(min(col("n_s")).as("n_min"))
-    val rates = counts.crossJoin(broadcast(nMin))
-      .withColumn("rate_permille",
-        floor(lit(basePermille.toDouble) *
-          sqrt(col("n_min").cast("double") / col("n_s").cast("double"))))
-      .select(col(strataCol), col("rate_permille"))
-    df.join(broadcast(rates), Seq(strataCol))
-      .filter(pmod(col(idCol), lit(1000)) < col("rate_permille"))
-      .select(df.columns.map(col).toIndexedSeq: _*)
+      .collect().flatMap(r => Option(r.get(0)).map(_ -> r.getLong(1)))
+    if (counts.isEmpty) return df.filter(lit(false))
+    val nMin = counts.map(_._2).min.toDouble
+    // floor(base · sqrt(n_min / n_s)): division, sqrt and multiply are
+    // all IEEE correctly-rounded — bit-identical in any engine
+    val rate: Column = counts.foldLeft(lit(0L): Column) { case (acc, (stratum, nS)) =>
+      when(col(strataCol) === lit(stratum),
+        lit(math.floor(basePermille * math.sqrt(nMin / nS)).toLong)).otherwise(acc)
+    }
+    df.filter(pmod(col(idCol), lit(1000)) < rate)
   }
 }

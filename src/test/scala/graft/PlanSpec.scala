@@ -96,6 +96,46 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("training-mix plans: literal-rate sampling has no join, quality model broadcasts, top-fraction cut pushes to the scan") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    // temperature sampling: rates are a literal when-chain — the
+    // returned frame must be a pure scan + filter, no join, no exchange
+    val temp = executed(Sampling.temperatureT2(docs, "doc_id", "lang", 400))
+    assert(!temp.contains("Join") && !temp.contains("Exchange"), temp.take(800))
+
+    // quality model: the vocab join must be a BroadcastHashJoin and the
+    // per-doc sum partial (map-side) BELOW its exchange
+    val w = Seq(("the", 10L), ("of", -5L)).toDF("term", "weight_x10000")
+    val qm = executed(
+      QualityModel.score(spark, docs, "doc_id", "text", w, 0L).select($"doc_id", $"logit_x10000"))
+    assert(qm.contains("BroadcastHashJoin"), qm.take(800))
+    assert(!qm.contains("CartesianProduct") && !qm.contains("BroadcastNestedLoopJoin"))
+    val qmLines = qm.linesIterator.toSeq
+    val pIdx = qmLines.indexWhere(_.contains("partial_sum"))
+    val eIdx = qmLines.indexWhere(l => l.contains("Exchange hashpartitioning(doc_id"))
+    assert(pIdx >= 0 && eIdx >= 0 && eIdx < pIdx,
+      s"expected exchange above partial agg, got $eIdx/$pIdx\n" + qmLines.take(20).mkString("\n"))
+
+    // top-fraction on a raw column: the computed cut must reach the
+    // parquet scan as a pushed GreaterThanOrEqual filter. Read a
+    // test-private copy — another suite caches the shared sf0.001
+    // documents table, and an InMemoryTableScan has no PushedFilters.
+    val tfDir = java.nio.file.Files.createTempDirectory("planspec_tf").toString
+    docs.select($"doc_id").write.mode("overwrite").parquet(tfDir)
+    val tf = executed(TopFraction.keep(spark, spark.read.parquet(tfDir), "doc_id", 200))
+    assert(!tf.contains("Join") && !tf.contains("Sort"), tf.take(800))
+    assert(tf.contains("GreaterThanOrEqual(doc_id"),
+      tf.linesIterator.filter(_.contains("Pushed")).mkString("\n"))
+
+    // seeded shuffle: exactly ONE exchange (the range partitioning any
+    // global reorder must pay), and it is a range partitioning
+    val so = executed(CorpusOrder.seeded(docs.select($"doc_id"), "doc_id", "s1", Some(4)))
+    assert(so.contains("rangepartitioning"), so.take(800))
+    assert("Exchange".r.findAllIn(so).size == 1, so.take(800))
+  }
+
   test("restore join preserves pushdown of the point-read predicate") {
     import spark.implicits._
     // direct point read (reference R9 analog): WHERE conv_id = X

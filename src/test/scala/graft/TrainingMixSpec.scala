@@ -136,6 +136,32 @@ class TrainingMixSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("Curate.report with a model gate: schema gains model_ok, keep = axes AND model") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val weights = QualityModel.vocabulary(docs, "text")
+      .withColumn("weight_x10000", (length($"term") - 5).cast("long") * 1000L)
+
+    val base = Curate.report(spark, docs, bench)
+    assert(!base.columns.contains("model_ok"), "no model -> schema unchanged")
+    val withM = Curate.report(spark, docs, bench, model = Some((weights, 0L)))
+    assert(withM.columns.contains("model_ok"))
+
+    // closed loop: model_ok must equal QualityModel's own keep, and
+    // keep must be the base verdict AND the model gate, row for row
+    val m = QualityModel.score(spark, docs, "doc_id", "text", weights, 0L)
+      .select($"doc_id", $"keep".as("expect_model_ok"))
+    val joined = withM
+      .join(base.select($"doc_id", $"keep".as("base_keep")), Seq("doc_id"))
+      .join(m, Seq("doc_id"))
+    assert(joined.filter($"model_ok" =!= $"expect_model_ok").count() == 0)
+    assert(joined.filter($"keep" =!= ($"base_keep" && $"model_ok")).count() == 0)
+    // non-vacuous: the fixture model rejects someone the axes kept
+    assert(joined.filter($"base_keep" && !$"model_ok").count() > 0,
+      "fixture model should reject at least one axes-kept doc")
+  }
+
   test("CorpusOrder.seeded: identical order at any input partitioning, seed changes order") {
     import spark.implicits._
     val ids = (0L until 500L).toDF("doc_id")
