@@ -111,12 +111,14 @@ final case class DedupConfig(
       * preserved for CC, quadratic blowup avoided — SURVEY.md §4 skew). */
     bucketCap: Int = 64,
     ccMaxIters: Int = 25,
-    /** truncate plan lineage EVERY iteration: one CC iteration is
-      * already ~5 joins deep (double pointer jump), and Catalyst
-      * re-analysis of a compound plan costs multi-second DRIVER time
-      * per extra iteration of depth (measured: 3s/iter truncated vs
-      * 29s at depth 2, 216s at depth 3) — far more than the cache-read
-      * copy a truncation costs. */
+    /** RELIABLE-checkpoint cadence (rounds) for the CC loop, effective
+      * only when the SparkContext has a checkpoint dir (Pipeline runs).
+      * Plan truncation itself is free and happens every round via lazy
+      * plan boundaries (Catalyst re-analysis of a compound plan costs
+      * multi-second DRIVER time per extra iteration of depth —
+      * measured: 3s/iter truncated vs 29s at depth 2, 216s at depth 3);
+      * this knob only bounds how many tiny label rounds an
+      * executor-loss recovery may replay. */
     ccCheckpointEvery: Int = 1,
     /** hash-min+jump iterations batched into ONE materializing job per
       * CC round (intermediates end at lazy plan boundaries, so Catalyst

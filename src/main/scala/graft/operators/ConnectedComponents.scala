@@ -34,15 +34,17 @@ import org.apache.spark.storage.StorageLevel
   * batch executes as a single job, and the convergence metric (sum of
   * label hashes, which only ever decreases) rides the materializing
   * action itself as an `observe()` metric instead of a separate
-  * collect. Plan lineage is truncated every `checkpointEvery`
-  * rounds; when the SparkContext has a
-  * checkpoint dir configured the truncation is a RELIABLE checkpoint
-  * (survives executor loss on a real cluster; the iteration is
-  * persisted first so the checkpoint-write job re-reads cache instead
-  * of recomputing), otherwise localCheckpoint (fine for local mode).
-  * Every superseded iteration's blocks — including localCheckpoints and
-  * the initial label table — are unpersisted as soon as the next
-  * iteration is material, so repeated CC invocations in one session do
+  * collect. Plan truncation between rounds is FREE: each round starts
+  * from a lazy plan boundary over the previous round's persisted
+  * blocks (no truncation job — an earlier revision paid an eager
+  * localCheckpoint per round, the dominant input-independent serial
+  * cost in cluster mode). When the SparkContext has a checkpoint dir
+  * configured, every `checkpointEvery` rounds the round is additionally
+  * RELIABLY checkpointed (survives executor loss on a real cluster;
+  * the round is persisted first so the checkpoint-write job re-reads
+  * cache instead of recomputing). Every superseded round's blocks —
+  * including the initial label table — are unpersisted as soon as the
+  * next round is material, so repeated CC invocations in one session do
   * not accumulate dead blocks.
   *
   * Skew: star-capped candidate generation upstream keeps component
@@ -82,24 +84,22 @@ object ConnectedComponents {
       tPhase = now
     }
     // ---- phase 1 (session settings: codegen + AQE on) ----
-    // materialize the ONE-DIRECTIONAL edge set first: the edge input is
-    // often a full detector pipeline (MinHash/SimHash kernels), which
-    // must run wide, codegen'd and AQE-planned — only the tiny label
-    // loop below benefits from interpreted eval. Materializing before
-    // symmetrizing matters: a union of two projections of an un-cached
-    // detector plan embeds that plan in BOTH branches, and the map-side
-    // work between the detectors' last exchange and the union executes
-    // twice (ReuseExchange only dedups the exchanges themselves) —
-    // measured ~2× the detector cost at sf0.1. One count here runs the
-    // detectors exactly once; the swap-union then reads this cache.
-    // (no distinct here: symWide's own distinct right below dedups the
-    // union anyway — a pre-distinct would only add an exchange)
-    val ed = edges
-      .select($"doc_a".as("src"), $"doc_b".as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ed.count()
-    val symWide = ed
-      .union(ed.select($"dst".as("src"), $"src".as("dst")))
+    // symmetrize in ONE pass over the edge input with a generator
+    // (explode of the two orientations), not a self-union: the edge
+    // input is often a full detector pipeline (MinHash/SimHash
+    // kernels), and a union of two projections of that un-cached plan
+    // embeds it in BOTH branches — the map-side work between the
+    // detectors' last exchange and the union executes twice
+    // (ReuseExchange only dedups the exchanges themselves), measured
+    // ~2× the detector cost at sf0.1. The generator keeps a single
+    // detector subtree, so one materializing count below runs the
+    // detectors exactly once — no separate pre-symmetrize cache+count
+    // job (which was one more full driver job-sync per CC run).
+    val symWide = edges
+      .select(explode(array(
+        struct($"doc_a".as("src"), $"doc_b".as("dst")),
+        struct($"doc_b".as("src"), $"doc_a".as("dst")))).as("e"))
+      .select($"e.src".as("src"), $"e.dst".as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -112,7 +112,6 @@ object ConnectedComponents {
     // its corpus, and a fixed session-width dict means hundreds of
     // near-empty tasks in every downstream stage.
     val nEdges = symWide.count()
-    ed.unpersist(false)
     val sessionShuffleParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val dictParts = math.max(1L, math.min(sessionShuffleParts.toLong,
       (nEdges + 32767L) / 32768L)).toInt
@@ -141,7 +140,12 @@ object ConnectedComponents {
       .join(dict.withColumnsRenamed(Map("conv_id" -> "dst", "id" -> "dst_id")), Seq("dst"))
       .select($"src_id".as("src"), $"dst_id".as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nLabels = dict.count()
+    // no separate dict.count() job: the dict cache fills while
+    // symCoded materializes (its two joins read it), and the loop only
+    // needs the label count for PARTITION SIZING — a ≤2× estimate from
+    // the already-known symmetric edge count is plenty (nodes ≤ nEdges;
+    // ≈ nEdges/2 for the star-capped dup graphs upstream emits)
+    val nLabelsEst = if (nEdges == 0) 0L else math.max(nEdges / 2, 1L)
     lap("sym+dict")
     symCoded.count()
     symWide.unpersist(false)
@@ -174,7 +178,7 @@ object ConnectedComponents {
     if (!sys.props.get("graft.cc.codegen").contains("true"))
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
     val coded =
-      try runLoop(spark, symCodedB, dictB, nLabels, maxIters, checkpointEvery, batch)
+      try runLoop(spark, symCodedB, dictB, nLabelsEst, maxIters, checkpointEvery, batch)
       finally {
         lap("loop")
         spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
@@ -202,6 +206,70 @@ object ConnectedComponents {
     out
   }
 
+  /** Partition-local union-find over a stream of coded (src, dst)
+    * edges: emits (node, localComponentMin) for every node whose local
+    * min differs from itself (identity rows come from the dict overlay
+    * in the caller). Primitive arrays throughout — an open-addressing
+    * long table (≤50% load) indexing a parent array with path halving —
+    * so the per-task footprint is ~24 B/node, bounded by `cap`. The
+    * output is a pure function of the partition's edge SET (union-find
+    * membership is order-independent, and the only order-sensitive
+    * state — which edges fit under the cap — is collapsed to an
+    * all-or-nothing rule on the order-independent distinct-node count),
+    * so task retries reproduce it exactly. */
+  private[graft] def localSeeds(
+      it: Iterator[(Long, Long)], cap: Int): Iterator[(Long, Long)] = {
+    val tableSize = Integer.highestOneBit(math.max(cap, 16)) * 4
+    val mask = tableSize - 1
+    val keys = Array.fill[Long](tableSize)(-1L) // coded ids are ≥ 0
+    val slotOf = new Array[Int](tableSize)
+    val parent = new Array[Int](cap)
+    var n = 0
+    var overflow = false
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    // golden-ratio spread (public constant, same family as Hashing)
+    def tableIdx(id: Long): Int = {
+      val h = id * -7046029254386353131L
+      var i = ((h ^ (h >>> 32)).toInt) & mask
+      while (keys(i) >= 0 && keys(i) != id) i = (i + 1) & mask
+      i
+    }
+    def slot(id: Long): Int = {
+      val i = tableIdx(id)
+      if (keys(i) == id) slotOf(i)
+      else if (n >= cap) { overflow = true; -1 }
+      else { keys(i) = id; slotOf(i) = n; parent(n) = n; n += 1; n - 1 }
+    }
+    while (it.hasNext && !overflow) {
+      val (s, d) = it.next()
+      val a = slot(s)
+      val b = if (a < 0) -1 else slot(d)
+      if (b >= 0) {
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+    }
+    if (overflow) Iterator.empty
+    else {
+      val minId = Array.fill[Long](n)(Long.MaxValue)
+      var i = 0
+      while (i < tableSize) {
+        if (keys(i) >= 0) {
+          val r = find(slotOf(i))
+          if (keys(i) < minId(r)) minId(r) = keys(i)
+        }
+        i += 1
+      }
+      (0 until tableSize).iterator
+        .filter(j => keys(j) >= 0 && minId(find(slotOf(j))) != keys(j))
+        .map(j => (keys(j), minId(find(slotOf(j)))))
+    }
+  }
+
   /** Hash-min loop in code space. edges: (src: Long, dst: Long),
     * symmetric and distinct. Returns a MATERIALIZED (id, comp) frame —
     * caller unpersists. */
@@ -209,7 +277,7 @@ object ConnectedComponents {
       spark: SparkSession,
       sym0: DataFrame,
       dict: DataFrame,
-      nLabels: Long,
+      nLabelsEst: Long,
       maxIters: Int,
       checkpointEvery: Int,
       batchIters: Int): DataFrame = {
@@ -223,17 +291,35 @@ object ConnectedComponents {
     // small enough that iterations use the cores (interpreted join work
     // is ~µs/row), large enough that task scheduling doesn't dominate.
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val loopParts = math.max(1L, math.min(sessionParts.toLong, (nLabels + 16383L) / 16384L))
+    val loopParts = math.max(1L, math.min(sessionParts.toLong, (nLabelsEst + 16383L) / 16384L))
     spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
 
-    // initial labels comp(v)=v: a narrow projection of the cached dict
-    // (its id set IS the node set — no second distinct), squeezed to
-    // loopParts blocks so every iteration reads right-sized partitions
-    var labels = dict
-      .select($"id", $"id".as("comp"))
-      .coalesce(loopParts.toInt)
-      .localCheckpoint(true)
-    if (nLabels == 0) return labels
+    // initial labels: comp(v)=v identity OVERLAID with partition-local
+    // union-find seeds. One narrow pass over the coded edges collapses
+    // every WITHIN-PARTITION connected subset to its local min member
+    // before the first shuffle round. Under the hash(dst) cache
+    // partitioning all edges INTO a node co-locate, so each node's
+    // in-star merges locally — detector chains (doc A~B in one bucket,
+    // B~C in another) start the loop at roughly HALF their diameter,
+    // and denser locally-co-located structures collapse entirely
+    // (measured: one round saved on a 10^6-turn chain-heavy corpus;
+    // the narrow pass costs no extra job — it rides round 1).
+    // Correctness: each
+    // seed is the min of a CONNECTED local subset, so comp(v) stays an
+    // upper bound within v's component, the global-min node keeps its
+    // own id, and hash-min still converges to exactly the component
+    // min. The seed pass is lazy — it rides round 1's job. Identity
+    // rows from the cached dict cover every node (seeds emit only
+    // id != comp rows, and a partition whose distinct-node count
+    // exceeds the memory cap emits nothing — an order-independent SET
+    // property, so task retries reproduce the output bit-for-bit).
+    var labels = org.apache.spark.sql.GraftPlanBridge.planBoundary(
+      sym0
+        .mapPartitions(it => localSeeds(it.map(r => (r.getLong(0), r.getLong(1))), 1 << 21))
+        .toDF("id", "comp")
+        .union(dict.select($"id", $"id".as("comp")))
+        .groupBy($"id").agg(min($"comp").as("comp")))
+    if (nLabelsEst == 0) return labels
 
     // the loop re-reads sym every iteration: coalesce its cached
     // partitioning down to loopParts so each iteration's map stages are
@@ -283,11 +369,13 @@ object ConnectedComponents {
     var iter = 0
     var mat = 0 // materializations ("rounds"): one job each
     var converged = false
-    // blocks superseded by the CURRENT materialized round — freed as
-    // soon as the next one is material (includes localCheckpoint blocks
-    // and the initial label table; reliable checkpoint files are owned
-    // by the ContextCleaner when cleanCheckpoints is on)
+    // blocks backing the CURRENT round — freed as soon as the next one
+    // is material (includes the initial label table; reliable
+    // checkpoint files are owned by the ContextCleaner when
+    // cleanCheckpoints is on)
     var retired = List[DataFrame](labels)
+    // the materialized frame the caller decodes (run() unpersists it)
+    var lastMat: DataFrame = labels
     while (iter < maxIters && !converged) {
       val tIter = System.nanoTime()
       // BATCH `batchIters` iterations into ONE job: intermediate
@@ -314,24 +402,36 @@ object ConnectedComponents {
       val obs = org.apache.spark.sql.Observation()
       val observed = cur.observe(obs, labelSumCol)
       val truncate = (mat + 1) % checkpointEvery == 0
-      // persist → count (one job, delivers the observe metric); on
-      // truncation rounds the checkpoint then re-reads those cached
-      // blocks instead of re-executing the whole round (both locally
-      // and reliably — RDD checkpointing always runs a second job over
-      // the plan's partitions)
       val p = observed.persist(StorageLevel.MEMORY_AND_DISK)
       p.count()
-      val next =
-        if (truncate && reliable) { val ck = p.checkpoint(true); retired = p :: retired; ck }
-        else if (truncate) { val ck = p.localCheckpoint(true); retired = p :: retired; ck }
-        else p
       val curSum = obs.get.getOrElse("label_sum", null)
-      // previous rounds' blocks are dead once `next` is material
-      // (Retire.free also reaches localCheckpoint RDDs the cache
-      // manager doesn't track)
+      // the previous round's blocks are dead once this round is
+      // material: the next round reads THIS round's cache, and on block
+      // loss the intact shuffle lineage re-runs only the final stage
+      // from its still-on-disk shuffle files (Retire.free also reaches
+      // localCheckpoint RDDs the cache manager doesn't track)
       retired.foreach(Retire.free)
-      retired = List(next)
-      labels = next
+      if (truncate && reliable) {
+        // a REAL fault-tolerance cut (survives executor loss — the only
+        // thing shuffle lineage can't recover): one extra job that
+        // re-reads the cached blocks just counted. Only taken when the
+        // context has a checkpoint dir (Pipeline runs).
+        val ck = p.checkpoint(true)
+        Retire.free(p)
+        retired = List(ck)
+        lastMat = ck
+        labels = ck
+      } else {
+        // plan truncation alone is FREE: the next round starts from a
+        // lazy boundary over this round's cached blocks — same opaque
+        // LogicalRDD a checkpoint would build, minus the job that
+        // copies blocks. (Earlier revisions paid an eager
+        // localCheckpoint here — one whole extra job per round, the
+        // dominant input-independent serial cost in cluster mode.)
+        retired = List(p)
+        lastMat = p
+        labels = org.apache.spark.sql.GraftPlanBridge.planBoundary(p)
+      }
       // sums compare round-end to round-end: labels only decrease, so
       // an unchanged sum across a whole batch means no iteration inside
       // it changed anything — the fixpoint
@@ -343,10 +443,10 @@ object ConnectedComponents {
         System.err.println(f"[cc] round=$mat iters=$iter ${(System.nanoTime() - tIter) / 1e9}%.2fs converged=$converged")
     }
     if (!(sym eq sym0)) sym.unpersist(false)
-    // `labels` is the last materialized iteration (still persisted /
+    // `lastMat` is the last materialized round (still persisted /
     // checkpointed — the retired list is only drained when a NEWER
-    // iteration supersedes it, which hasn't happened for the final one);
+    // round supersedes it, which hasn't happened for the final one);
     // run() unpersists it via the coded handle after decoding
-    labels
+    lastMat
   }
 }
