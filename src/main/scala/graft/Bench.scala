@@ -231,14 +231,19 @@ object Bench {
     docs.count(); lap("doc_assembly")
     val turnMap = ExactDedup.dedupTurns(s, transcripts).cache()
     turnMap.count(); lap("turn_dedup")
-    val fused = FusedDetectors.dupPairs(s, docs, cfg)
-    val ss = SubstringDetector.dupPairs(s, docs, cfg)
+    // ALL THREE detectors in one fused sweep (one tokenization pass,
+    // one tagged key exchange) — the same pairs-stage shape Pipeline
+    // commits; substring edges are produced here but filtered out of
+    // whole-doc clustering below (duplication lineage, not whole-doc
+    // duplicates — Pipeline's clusters stage does the same).
+    val fused = FusedDetectors.dupPairs(s, docs, cfg, withSubstring = true)
     val exact = ExactDedup.docDupPairs(s, docs.toDF).as[DupPair]
     val nPairs = exact.toDF
       .unionByName(fused.toDF)
       .cache()
-    nPairs.count(); ss.count(); lap("detectors")
-    Clustering.assign(s, docs, nPairs.as[DupPair], cfg).count(); lap("clustering")
+    nPairs.count(); lap("detectors")
+    val wholeDocPairs = nPairs.filter($"detector" =!= "substring").as[DupPair]
+    Clustering.assign(s, docs, wholeDocPairs, cfg).count(); lap("clustering")
     nPairs.unpersist(false)
     val lineage = turnMap.select($"conv_id", $"turn_idx", $"fp")
     Restore.restore(s, lineage, ExactDedup.uniqueTurns(s, transcripts)).count(); lap("restore")

@@ -184,12 +184,14 @@ object Pipeline {
     }) {
       store.stage(spark, "pairs", Seq("dup_pairs")) {
         val exactPairs = ExactDedup.docDupPairs(spark, docs.toDF)
-        // minhash+simhash run as the FUSED sweep (one tokenization pass,
-        // one tagged key exchange) — row-identical to the standalone
-        // detectors' union; substring keeps its own 128-bit key space
-        val fused = FusedDetectors.dupPairs(spark, docs, cfg).toDF
-        val ss = SubstringDetector.dupPairs(spark, docs, cfg).toDF
-        Map("dup_pairs" -> exactPairs.unionByName(fused).unionByName(ss)
+        // minhash+simhash+substring run as ONE fused sweep (one
+        // tokenization pass, one tagged key exchange for all three) —
+        // row-identical to the standalone detectors' union; the
+        // substring keys stay a structurally disjoint 128-bit space
+        // via the sweep's tag column
+        val fused = FusedDetectors.dupPairs(spark, docs, cfg,
+          withSubstring = true).toDF
+        Map("dup_pairs" -> exactPairs.unionByName(fused)
           .observe(obsPairs,
             lit(docsRowsIn).cast("long").as("rows_in"),
             count(lit(1)).as("rows_out"),

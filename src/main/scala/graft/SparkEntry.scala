@@ -309,6 +309,16 @@ object SparkEntry {
       SubstringDetector.dupPairs(s, docs, DedupConfig.default).toDF
         .select("doc_a", "doc_b")
     }),
+    // the production pairs-stage path: ALL THREE detectors in ONE
+    // tokenization pass + ONE tagged key exchange. Each detector must
+    // find exactly the planted pairs (the fused sweep is row-identical
+    // to the standalone detectors — DetectorSpec), so the full expected
+    // output is the planted pair set × the three detector names.
+    "q_fused3_planted" -> ((s, dir) => {
+      val docs = DocAssembly.assemble(s, plantedTranscriptsView(s, dir))
+      FusedDetectors.dupPairs(s, docs, DedupConfig.default, withSubstring = true).toDF
+        .select("doc_a", "doc_b", "detector")
+    }),
     "q_suffixarray_planted" -> ((s, dir) => {
       val docs = DocAssembly.assemble(s, plantedTranscriptsView(s, dir))
       SuffixArrayDetector.dupPairs(s, docs, DedupConfig.default).toDF
@@ -885,6 +895,14 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN EXISTS (SELECT 1 FROM corpus WHERE corpus.text = batch.text)
          |      THEN 1 ELSE 0 END) AS BIGINT) AS known_rows
          |FROM batch""".stripMargin,
+    "q_fused3_planted" ->
+      s"""WITH t AS ($transcriptsViewSql),
+         |sel AS (SELECT DISTINCT conv_id FROM t
+         |        WHERE CAST(substring(conv_id, 2) AS BIGINT) % 10 = 3),
+         |d AS (SELECT 'minhash' AS detector
+         |      UNION ALL SELECT 'simhash' UNION ALL SELECT 'substring')
+         |SELECT conv_id AS doc_a, conv_id || 'd' AS doc_b, detector
+         |FROM sel CROSS JOIN d""".stripMargin,
     "q_minhash_planted" -> plantedSelSql,
     "q_simhash_planted" -> plantedSelSql,
     "q_substring_planted" -> plantedSelSql,

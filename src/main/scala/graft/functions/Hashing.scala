@@ -370,6 +370,22 @@ object Hashing {
     (mh, sh)
   }
 
+  /** ALL THREE detector keys in one tokenization pass: MinHash
+    * signature, SimHash, and the 128-bit winnowed substring anchors
+    * (interleaved [hi, lo, ...]). Bit-identical to [[fusedSig]] +
+    * [[substringAnchors128]] run separately — the fusion removes the
+    * substring detector's own normalize+tokenize walk, the last
+    * remaining extra pass over every byte of every document on the
+    * dedup pipeline's detector stage. */
+  def fusedSig3(text: String, k1: Int, numHashes: Int, seed: Long, k2: Int,
+      q: Int, sample: Int): (Array[Long], Long, Array[Long]) = {
+    val th = tokenHashes(text)
+    val mh = minhashSignature(shingleHashesFromTokens(th, k1), numHashes, seed)
+    val sh = simhash(shingleHashesFromTokens(th, k2))
+    val an = substringAnchors128FromTokens(th, q, sample)
+    (mh, sh, an)
+  }
+
   /** 128-bit anchor keys, interleaved [hi0, lo0, hi1, lo1, ...] sorted
     * and deduplicated by (hi, lo). Selection is identical to
     * [[substringAnchors]] (same grams become anchors, chosen by the
@@ -396,9 +412,14 @@ object Hashing {
     (h, h2)
   }
 
-  def substringAnchors128(text: String, q: Int, sample: Int): Array[Long] = {
+  def substringAnchors128(text: String, q: Int, sample: Int): Array[Long] =
+    substringAnchors128FromTokens(tokenHashes(text), q, sample)
+
+  /** Same as [[substringAnchors128]] but over an already-tokenized hash
+    * stream — lets the three-detector fused kernel ([[fusedSig3]])
+    * tokenize once for signatures AND anchors. */
+  def substringAnchors128FromTokens(th: Array[Long], q: Int, sample: Int): Array[Long] = {
     require(Integer.bitCount(sample) == 1, s"sample must be a power of two, got $sample")
-    val th = tokenHashes(text)
     if (th.length < q) return Array.empty
     val buf = new Array[Long](2 * (th.length - q + 1))
     var n = 0

@@ -4,27 +4,33 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{DedupConfig, Doc, DupPair}
 
-/** MinHash-LSH + SimHash in ONE sweep over the corpus.
+/** MinHash-LSH + SimHash (+ optionally the exact long-substring
+  * detector) in ONE sweep over the corpus.
   *
   * Run standalone, each detector pays (a) its own normalize+tokenize
   * walk over every byte of every document and (b) its own key exchange
-  * (bands× and 68× fan-outs shuffled separately). Fused:
+  * (bands×, 68× and anchors-per-doc fan-outs shuffled separately).
+  * Fused:
   *
-  *  - ONE narrow projection computes both signatures per doc
-  *    ([[graft.plans.FusedSigExpr]] — tokenizes once, bit-identical
-  *    signatures);
-  *  - ONE exchange carries both detectors' candidate keys, tagged so
-  *    buckets never mix (bucket identity = (key, tag); the shared
-  *    [[PairSweep]] keeps per-bucket caps and deterministic hubs);
+  *  - ONE narrow projection computes every detector's per-doc input
+  *    ([[graft.plans.FusedSigExpr]] / [[graft.plans.FusedSig3Expr]] —
+  *    tokenizes once, bit-identical signatures AND anchors);
+  *  - ONE exchange carries every detector's candidate keys, tagged in
+  *    the sweep's k3 column so bucket spaces are STRUCTURALLY disjoint
+  *    (bucket identity = (k1, k2, k3); the shared [[PairSweep]] keeps
+  *    per-bucket caps and deterministic hubs);
   *  - per-detector verification is unchanged (signature Jaccard for
-  *    minhash, `bit_count(a^b) <= r` for simhash) and reads the same
-  *    cached signature table.
+  *    minhash, `bit_count(a^b) <= r` for simhash, bucket-match-is-the-
+  *    decision for substring) and reads the same cached signature
+  *    table.
   *
   * The output is row-identical to
-  * `MinHashLSH.dupPairs ∪ SimHashDetector.dupPairs` (FusedSpec asserts
-  * this) — fusion changes the physical plan, not the semantics. This is
-  * the production path for clustering (Pipeline/Bench); the standalone
-  * detectors remain the unit-testable / individually-oracled surfaces.
+  * `MinHashLSH.dupPairs ∪ SimHashDetector.dupPairs`
+  * (∪ `SubstringDetector.dupPairs` with `withSubstring = true`) —
+  * FusedSpec asserts both; fusion changes the physical plan, not the
+  * semantics. The three-detector form is the production path for the
+  * pipeline's pairs stage (Pipeline/Bench); the standalone detectors
+  * remain the unit-testable / individually-oracled surfaces.
   *
   * Reference analog: the reference's dedup pass also computes its
   * chunk fingerprint and its index probe in the same read of the data
@@ -33,49 +39,66 @@ import graft.{DedupConfig, Doc, DupPair}
   */
 object FusedDetectors {
 
+  // detector tags ride the sweep's k3 column; k2 carries the low half
+  // of the 128-bit anchor key for substring rows and 0 for the others
   private val MinHashTag = 0L
   private val SimHashTag = 1L
+  private val SubstrTag = 2L
 
   /** Verification slack shared by the batch and incremental paths —
     * single-sourced so the two can never silently diverge. */
   val DefaultSlack = 0.05
 
   /** Tagged candidate key stream from a [[signatures]]-shaped frame
-    * (sig, simhash + the `carry` columns — conv_id always; is_new for
-    * the incremental path). Tags keep the two detectors' bucket spaces
-    * disjoint inside one exchange. */
+    * (sig, simhash [, anchors] + the `carry` columns — conv_id always;
+    * is_new for the incremental path). Tags in k3 keep the detectors'
+    * bucket spaces disjoint inside one exchange; when the frame carries
+    * an `anchors` column (the [[signatures3]] shape) the substring
+    * detector's 128-bit keys join the same stream as (hi, lo, tag). */
   private[operators] def taggedKeys(sigs: DataFrame, cfg: DedupConfig,
       carry: Seq[String]): DataFrame = {
     val cc = carry.map(col).toList
     val mh = sigs.select(
       explode(call_function("graft_band_hashes", col("sig"),
         lit(cfg.bands), lit(cfg.rowsPerBand))).as("k1") ::
-        lit(MinHashTag).as("k2") :: cc: _*)
+        lit(0L).as("k2") :: lit(MinHashTag).as("k3") :: cc: _*)
     val sh = sigs.select(
       explode(call_function("graft_ball_keys", col("simhash"),
         lit(cfg.simhashBlocks))).as("k1") ::
-        lit(SimHashTag).as("k2") :: cc: _*)
-    mh.unionAll(sh)
+        lit(0L).as("k2") :: lit(SimHashTag).as("k3") :: cc: _*)
+    val base = mh.unionAll(sh)
+    if (!sigs.columns.contains("anchors")) base
+    else base.unionAll(sigs.select(
+      explode(col("anchors")).as("a") :: cc: _*)
+      .select(col("a.hi").as("k1") :: col("a.lo").as("k2") ::
+        lit(SubstrTag).as("k3") :: cc: _*))
   }
 
   /** Per-detector verification of a tagged candidate set against the
     * signature frame: signature Jaccard for minhash, Hamming radius
     * for simhash — THE verification both the batch and incremental
-    * paths run, by construction the same. */
+    * paths run, by construction the same. Substring candidates
+    * (k3 = SubstrTag, if present) are NOT verified here — their bucket
+    * match IS the decision ([[SubstringDetector]]); [[dupPairs]] passes
+    * them through directly. */
   private[operators] def verifyPairs(cands: DataFrame, sigs: DataFrame,
       cfg: DedupConfig, slack: Double): DataFrame = {
+    // filter to the near-dup tags BEFORE the signature joins: substring
+    // candidates would otherwise ride two corpus-sized joins only to be
+    // dropped by the per-detector tag filters
     val withSigs = cands
+      .filter(col("k3") === MinHashTag || col("k3") === SimHashTag)
       .join(sigs.select(col("conv_id").as("doc_a"),
         col("sig").as("sig_a"), col("simhash").as("sh_a")), Seq("doc_a"))
       .join(sigs.select(col("conv_id").as("doc_b"),
         col("sig").as("sig_b"), col("simhash").as("sh_b")), Seq("doc_b"))
     val mh = withSigs
-      .filter(col("k2") === MinHashTag)
+      .filter(col("k3") === MinHashTag)
       .withColumn("score", call_function("graft_sig_jaccard", col("sig_a"), col("sig_b")))
       .filter(col("score") >= lit(cfg.jaccardThreshold - slack))
       .select(col("doc_a"), col("doc_b"), lit("minhash").as("detector"), col("score"))
     val sh = withSigs
-      .filter(col("k2") === SimHashTag)
+      .filter(col("k3") === SimHashTag)
       .withColumn("hd", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hd") <= lit(cfg.hammingRadius))
       .select(col("doc_a"), col("doc_b"), lit("simhash").as("detector"),
@@ -96,7 +119,25 @@ object FusedDetectors {
       .select($"conv_id", $"s.mh".as("sig"), $"s.sh".as("simhash"))
   }
 
-  /** Both detectors' verified dup pairs from one corpus sweep.
+  /** (conv_id, sig, simhash, anchors: array<struct<hi,lo>>) — ALL THREE
+    * detectors' per-doc inputs from one tokenization pass, bit-identical
+    * to the standalone kernels ([[graft.plans.FusedSig3Expr]]). */
+  def signatures3(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): DataFrame = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    docs.toDF.select(
+      $"conv_id",
+      call_function("graft_fused_sig3", $"doc_text",
+        lit(cfg.shingleK), lit(cfg.numHashes), lit(cfg.seed),
+        lit(cfg.simhashShingleK), lit(cfg.substrQ), lit(cfg.substrSample)).as("s"))
+      .select($"conv_id", $"s.mh".as("sig"), $"s.sh".as("simhash"), $"s.an".as("anchors"))
+  }
+
+  /** The fused detectors' verified dup pairs from one corpus sweep —
+    * minhash + simhash, and with `withSubstring = true` also the exact
+    * long-substring detector (one tokenization, one exchange for all
+    * three; row-identical to the standalone detectors' union either
+    * way).
     *
     * LIFETIME CONTRACT: the returned Dataset is a localCheckpoint whose
     * blocks are retired by the NEXT `dupPairs` call on the same
@@ -106,48 +147,62 @@ object FusedDetectors {
     * results. Same contract as [[ConnectedComponents]] labels and
     * [[SuffixArrayDetector.dupPairs]]. */
   def dupPairs(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig,
-      slack: Double = DefaultSlack): Dataset[DupPair] = {
+      slack: Double = DefaultSlack, withSubstring: Boolean = false): Dataset[DupPair] = {
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     // cache() alone is NOT enough here: the signature table feeds four
-    // plan branches (two key streams + two verification join sides),
+    // plan branches (the key streams + two verification join sides),
     // and AQE materializes leaf exchanges CONCURRENTLY — before any
     // cached block lands, every concurrent branch computes the full
     // signature pipeline independently (measured: the sig stage ran
     // twice at sf0.1, doubling the query's CPU). One eager count() runs
     // it exactly once; every branch then reads cache.
-    val sigs0 = signatures(spark, docs, cfg).cache()
+    val sigs0 =
+      (if (withSubstring) signatures3(spark, docs, cfg)
+       else signatures(spark, docs, cfg)).cache()
     sigs0.count()
-    // plan boundary over the materialized cache: the four consumer
-    // branches below embed `sigs`' logical tree, and AQE's concurrent
-    // leaf materialization can plan a branch against the not-yet-
-    // registered cache entry and re-execute the signature kernel. The
-    // boundary pins every consumer to the ONE compiled cache-scan RDD —
+    // plan boundary over the materialized cache: the consumer branches
+    // below embed `sigs`' logical tree, and AQE's concurrent leaf
+    // materialization can plan a branch against the not-yet-registered
+    // cache entry and re-execute the signature kernel. The boundary
+    // pins every consumer to the ONE compiled cache-scan RDD —
     // recomputation becomes structurally impossible, not just unlikely.
     val sigs = org.apache.spark.sql.GraftPlanBridge.planBoundary(sigs0.toDF)
 
-    // tagged key stream: (k1 = bucket key, k2 = detector tag).
-    // materialize the candidate set ONCE: both detector branches read
-    // it, and an uncached sweep pipeline would execute per branch (the
-    // exchange is reused, but the sort + streaming pass above it run
-    // again for every consumer). Candidates are pairs — tiny next to
-    // the key stream — so the cache is cheap at any scale.
+    // tagged key stream: (k1, k2, k3 = detector tag). materialize the
+    // candidate set ONCE: every detector branch reads it, and an
+    // uncached sweep pipeline would execute per branch (the exchange is
+    // reused, but the sort + streaming pass above it run again for
+    // every consumer). Candidates are pairs — tiny next to the key
+    // stream — so the cache is cheap at any scale. Pair identity is
+    // (doc_a, doc_b, detector): dedup on k3 — for substring that also
+    // collapses the per-shared-anchor multiplicity (k2 = anchor lo)
+    // exactly like the standalone detector's dropDuplicates.
     val cands = PairSweep.pairs(spark, taggedKeys(sigs, cfg, Seq("conv_id")), cfg.bucketCap)
-      .dropDuplicates("doc_a", "doc_b", "k2")
+      .dropDuplicates("doc_a", "doc_b", "k3")
       .cache()
     cands.count()
 
     // verification joins read the one cached signature table; each
     // detector filters to ITS candidate tag so fused recall/precision
-    // equals the standalone detectors' exactly. The result (pairs —
-    // tiny) is materialized so the two corpus-sized caches above can be
-    // freed HERE instead of leaking for the session's lifetime (a bench
-    // run invokes this per pass; a long-lived ingest session many
-    // times). Checkpointed blocks are untracked by the cache manager —
-    // retire the previous invocation's output (same contract as CC
-    // labels: valid until the next dupPairs on the SAME session;
-    // persist/write first to hold two results).
-    val out = verifyPairs(cands, sigs, cfg, slack).as[DupPair].localCheckpoint(true)
+    // equals the standalone detectors' exactly. Substring candidates
+    // skip verification — a shared 128-bit anchor IS the decision
+    // (SubstringDetector's contract). The result (pairs — tiny) is
+    // materialized so the two corpus-sized caches above can be freed
+    // HERE instead of leaking for the session's lifetime (a bench run
+    // invokes this per pass; a long-lived ingest session many times).
+    // Checkpointed blocks are untracked by the cache manager — retire
+    // the previous invocation's output (same contract as CC labels:
+    // valid until the next dupPairs on the SAME session; persist/write
+    // first to hold two results).
+    val verified = verifyPairs(cands, sigs, cfg, slack)
+    val all =
+      if (!withSubstring) verified
+      else verified.unionAll(cands
+        .filter(col("k3") === SubstrTag)
+        .select(col("doc_a"), col("doc_b"),
+          lit("substring").as("detector"), lit(1.0).as("score")))
+    val out = all.as[DupPair].localCheckpoint(true)
     sigs0.unpersist(false)
     cands.unpersist(false)
     Retire.swap(spark, "fused_pairs", out.toDF)

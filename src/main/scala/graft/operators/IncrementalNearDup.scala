@@ -92,7 +92,7 @@ object IncrementalNearDup {
     // exact: 128-bit fp equality IS the decision (same contract as
     // ExactDedup.docDupPairs; star shape differs, connectivity equal)
     val exact = PairSweep.pairsIncremental(spark,
-      all.select($"fp_h1".as("k1"), $"fp_h2".as("k2"), $"conv_id", $"is_new"),
+      all.select($"fp_h1".as("k1"), $"fp_h2".as("k2"), lit(0L).as("k3"), $"conv_id", $"is_new"),
       cfg.bucketCap)
       .dropDuplicates("doc_a", "doc_b")
       .select($"doc_a", $"doc_b", lit("exact").as("detector"), lit(1.0).as("score"))
@@ -102,7 +102,7 @@ object IncrementalNearDup {
     // code, not a synchronized copy), incremental emission in between
     val cands = PairSweep.pairsIncremental(spark,
       FusedDetectors.taggedKeys(all, cfg, Seq("conv_id", "is_new")), cfg.bucketCap)
-      .dropDuplicates("doc_a", "doc_b", "k2")
+      .dropDuplicates("doc_a", "doc_b", "k3")
       .cache()
     cands.count()
     val out = exact.unionAll(FusedDetectors.verifyPairs(cands, all, cfg, slack))

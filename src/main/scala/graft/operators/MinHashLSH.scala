@@ -72,7 +72,7 @@ object MinHashLSH {
     * size, so a mega-template bucket cannot go quadratic. */
   def candidatePairs(spark: SparkSession, keys: Dataset[BandKey], cfg: DedupConfig): DataFrame =
     PairSweep.pairs(spark,
-      keys.toDF.select(col("band_key").as("k1"), lit(0L).as("k2"), col("conv_id")),
+      keys.toDF.select(col("band_key").as("k1"), lit(0L).as("k2"), lit(0L).as("k3"), col("conv_id")),
       cfg.bucketCap)
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")

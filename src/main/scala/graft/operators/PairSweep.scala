@@ -5,16 +5,19 @@ import org.apache.spark.sql.functions._
 
 /** The one streaming candidate-pair pass every detector shares.
   *
-  * Input: rows (k1: Long, k2: Long, conv_id: String) — a bucket is a
-  * distinct (k1, k2) pair. k2 doubles as whatever the caller needs it
-  * to be: a detector tag (fused sweep), the low half of a 128-bit
-  * anchor (substring), or a constant (plain LSH bands).
+  * Input: rows (k1: Long, k2: Long, k3: Long, conv_id: String) — a
+  * bucket is a distinct (k1, k2, k3) triple. k2/k3 double as whatever
+  * the caller needs them to be: (low half of a 128-bit anchor, detector
+  * tag) for the fused three-detector sweep, (constant, constant) for
+  * plain LSH bands. The tag column keeps different detectors' bucket
+  * spaces STRUCTURALLY disjoint inside one exchange — no reliance on
+  * 64-bit keys never colliding across spaces.
   *
-  * Shape: ONE pinned exchange (repartition on (k1, k2) at the session
-  * shuffle width — pinned because AQE coalescing would starve the pair
-  * generation, the heaviest stage downstream), in-partition sort by
-  * (k1, k2, conv_id), then a single streaming pass. Because groups
-  * arrive sorted, the FIRST member of a bucket is its global-min
+  * Shape: ONE pinned exchange (repartition on (k1, k2, k3) at the
+  * session shuffle width — pinned because AQE coalescing would starve
+  * the pair generation, the heaviest stage downstream), in-partition
+  * sort by (k1, k2, k3, conv_id), then a single streaming pass. Because
+  * groups arrive sorted, the FIRST member of a bucket is its global-min
   * conv_id, so every emitted row is a pure function of the bucket's
   * full membership — task retries reproduce byte-identical output.
   *
@@ -23,7 +26,7 @@ import org.apache.spark.sql.functions._
   * member) — linear in bucket size, so a mega-template bucket cannot go
   * quadratic (north_rule skew handling).
   *
-  * Output: (doc_a, doc_b, k2) with doc_a < doc_b... for all-pairs
+  * Output: (doc_a, doc_b, k2, k3) with doc_a < doc_b... for all-pairs
   * buckets; star edges are (hub, member) with hub = bucket min, so the
   * ordering invariant holds there too. NOT deduplicated — callers
   * dropDuplicates over the columns that define their pair identity.
@@ -38,7 +41,7 @@ object PairSweep {
   def pairs(spark: SparkSession, keyed: DataFrame, cap: Int): DataFrame =
     pairsIncremental(spark, keyed.withColumn("is_new", lit(true)), cap)
 
-  final case class KeyedRowN(k1: Long, k2: Long, conv_id: String, is_new: Boolean)
+  final case class KeyedRowN(k1: Long, k2: Long, k3: Long, conv_id: String, is_new: Boolean)
 
   /** Incremental variant for corpus growth: rows carry an `is_new` flag
     * (true = member of the just-ingested batch) and the sweep emits
@@ -69,39 +72,40 @@ object PairSweep {
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     keyed
-      .repartition(parts, col("k1"), col("k2"))
-      .sortWithinPartitions(col("k1"), col("k2"), col("conv_id"))
+      .repartition(parts, col("k1"), col("k2"), col("k3"))
+      .sortWithinPartitions(col("k1"), col("k2"), col("k3"), col("conv_id"))
       .as[KeyedRowN]
       .mapPartitions { it =>
         val in = it.buffered
-        new scala.collection.AbstractIterator[(String, String, Long)] {
-          private var pending: Iterator[(String, String, Long)] = Iterator.empty
+        new scala.collection.AbstractIterator[(String, String, Long, Long)] {
+          private var pending: Iterator[(String, String, Long, Long)] = Iterator.empty
           private def newTouchingPairs(
-              arr: scala.collection.IndexedSeq[(String, Boolean)], k2: Long): Iterator[(String, String, Long)] =
+              arr: scala.collection.IndexedSeq[(String, Boolean)], k2: Long, k3: Long): Iterator[(String, String, Long, Long)] =
             for {
               i <- arr.indices.iterator
               j <- (i + 1 until arr.length).iterator
               if arr(i)._1 != arr(j)._1 && (arr(i)._2 || arr(j)._2)
-            } yield (arr(i)._1, arr(j)._1, k2)
+            } yield (arr(i)._1, arr(j)._1, k2, k3)
           private def advance(): Unit = {
             if (!in.hasNext) return
             val k1 = in.head.k1
             val k2 = in.head.k2
+            val k3 = in.head.k3
             val hub = in.head.conv_id // sorted ⇒ bucket min, same hub as pairs()
             val buf = new scala.collection.mutable.ArrayBuffer[(String, Boolean)](16)
             var overflow = false
-            while (in.hasNext && in.head.k1 == k1 && in.head.k2 == k2 && !overflow) {
+            while (in.hasNext && in.head.k1 == k1 && in.head.k2 == k2 && in.head.k3 == k3 && !overflow) {
               val r = in.next()
               buf += ((r.conv_id, r.is_new))
               if (buf.length > cap) overflow = true
             }
-            if (!overflow) pending = newTouchingPairs(buf, k2)
+            if (!overflow) pending = newTouchingPairs(buf, k2, k3)
             else {
               // overflow: full star (old members included — see scaladoc)
-              val bufEdges = buf.iterator.filter(_._1 != hub).map(c => (hub, c._1, k2))
-              val restEdges = new scala.collection.AbstractIterator[(String, String, Long)] {
-                def hasNext: Boolean = in.hasNext && in.head.k1 == k1 && in.head.k2 == k2
-                def next(): (String, String, Long) = (hub, in.next().conv_id, k2)
+              val bufEdges = buf.iterator.filter(_._1 != hub).map(c => (hub, c._1, k2, k3))
+              val restEdges = new scala.collection.AbstractIterator[(String, String, Long, Long)] {
+                def hasNext: Boolean = in.hasNext && in.head.k1 == k1 && in.head.k2 == k2 && in.head.k3 == k3
+                def next(): (String, String, Long, Long) = (hub, in.next().conv_id, k2, k3)
               }.filter(_._2 != hub)
               pending = bufEdges ++ restEdges
             }
@@ -110,12 +114,12 @@ object PairSweep {
             while (!pending.hasNext && in.hasNext) advance()
             pending.hasNext
           }
-          def next(): (String, String, Long) = {
+          def next(): (String, String, Long, Long) = {
             if (!hasNext) throw new NoSuchElementException
             pending.next()
           }
         }
       }
-      .toDF("doc_a", "doc_b", "k2")
+      .toDF("doc_a", "doc_b", "k2", "k3")
   }
 }

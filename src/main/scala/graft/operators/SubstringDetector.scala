@@ -59,7 +59,7 @@ object SubstringDetector {
     * overflow buckets stream star edges, retries byte-deterministic). */
   def candidatePairs(spark: SparkSession, keys: Dataset[AnchorKey], cfg: DedupConfig): DataFrame =
     PairSweep.pairs(spark,
-      keys.toDF.select(col("k_hi").as("k1"), col("k_lo").as("k2"), col("conv_id")),
+      keys.toDF.select(col("k_hi").as("k1"), col("k_lo").as("k2"), lit(0L).as("k3"), col("conv_id")),
       cfg.bucketCap)
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")

@@ -46,6 +46,25 @@ object GraftKernels {
       UnsafeArrayData.fromPrimitiveArray(mh), sh)
   }
 
+  /** One-pass triple signature for the three-detector fused sweep:
+    * struct<mh, sh, an> — anchors arrive interleaved from the kernel
+    * and are reshaped into struct rows here (same layout as
+    * [[substrAnchors128]]). */
+  def fusedSig3(text: UTF8String, k1: Int, numHashes: Int, seed: Long, k2: Int,
+      q: Int, sample: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val (mh, sh, flat) = Hashing.fusedSig3(text.toString, k1, numHashes, seed, k2, q, sample)
+    val n = flat.length / 2
+    val rows = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(flat(2 * i), flat(2 * i + 1))
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UnsafeArrayData.fromPrimitiveArray(mh), sh,
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(rows))
+  }
+
   def substrAnchors(text: UTF8String, q: Int, sample: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(Hashing.substringAnchors(text.toString, q, sample))
 
@@ -186,6 +205,36 @@ case class FusedSigExpr(child: Expression, k1: Int, numHashes: Int, seed: Long, 
     defineCodeGen(ctx, ev, c =>
       s"graft.plans.GraftKernels.fusedSig($c, $k1, $numHashes, ${seed}L, $k2)")
   override protected def withNewChildInternal(newChild: Expression): FusedSigExpr =
+    copy(child = newChild)
+}
+
+/** text → struct<mh: array<bigint>, sh: bigint, an: array<struct<hi,lo>>>
+  * — ALL THREE detectors' per-doc inputs in one tokenization pass
+  * (bit-identical to [[FusedSigExpr]] + [[SubstrAnchors128Expr]] run
+  * separately; see [[Hashing.fusedSig3]]). The three-detector fused
+  * sweep projects this once per doc instead of walking the text twice
+  * (signatures pass + anchors pass). */
+case class FusedSig3Expr(child: Expression, k1: Int, numHashes: Int, seed: Long,
+    k2: Int, q: Int, sample: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires StringType, got ${child.dataType}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("mh", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sh", LongType, nullable = false),
+    StructField("an", ArrayType(
+      StructType(Seq(
+        StructField("hi", LongType, nullable = false),
+        StructField("lo", LongType, nullable = false))),
+      containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_fused_sig3"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.fusedSig3(input.asInstanceOf[UTF8String], k1, numHashes, seed, k2, q, sample)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.GraftKernels.fusedSig3($c, $k1, $numHashes, ${seed}L, $k2, $q, $sample)")
+  override protected def withNewChildInternal(newChild: Expression): FusedSig3Expr =
     copy(child = newChild)
 }
 
@@ -384,6 +433,10 @@ object GraftFunctions {
     "graft_fused_sig" -> (cs =>
       FusedSigExpr(cs.head, litInt(cs(1), "k1"), litInt(cs(2), "numHashes"),
         litLong(cs(3), "seed"), litInt(cs(4), "k2"))),
+    "graft_fused_sig3" -> (cs =>
+      FusedSig3Expr(cs.head, litInt(cs(1), "k1"), litInt(cs(2), "numHashes"),
+        litLong(cs(3), "seed"), litInt(cs(4), "k2"),
+        litInt(cs(5), "q"), litInt(cs(6), "sample"))),
     "graft_substr_anchors" -> (cs =>
       SubstrAnchorsExpr(cs.head, litInt(cs(1), "q"), litInt(cs(2), "sample"))),
     "graft_substr_anchors128" -> (cs =>

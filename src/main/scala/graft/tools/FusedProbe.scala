@@ -79,9 +79,11 @@ object FusedProbe {
       t("sh_keys")(sigs.select(explode(call_function("graft_ball_keys", $"simhash",
         lit(cfg.simhashBlocks))).as("k1")).count())
       val mhK = sigs.select(explode(call_function("graft_band_hashes", $"sig",
-        lit(cfg.bands), lit(cfg.rowsPerBand))).as("k1"), lit(0L).as("k2"), $"conv_id")
+        lit(cfg.bands), lit(cfg.rowsPerBand))).as("k1"), lit(0L).as("k2"),
+        lit(0L).as("k3"), $"conv_id")
       val shK = sigs.select(explode(call_function("graft_ball_keys", $"simhash",
-        lit(cfg.simhashBlocks))).as("k1"), lit(1L).as("k2"), $"conv_id")
+        lit(cfg.simhashBlocks))).as("k1"), lit(0L).as("k2"),
+        lit(1L).as("k3"), $"conv_id")
       dumpStages("pre")
       sampled("pair_sweep")(PairSweep.pairs(spark, mhK.unionAll(shK), cfg.bucketCap).count())
       dumpStages("pair_sweep")

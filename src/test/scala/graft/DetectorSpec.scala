@@ -56,6 +56,49 @@ class DetectorSpec extends SparkSpec {
     assert(fused.nonEmpty, "equivalence test is vacuous: no pairs found")
   }
 
+  test("three-detector fused sweep is row-identical to minhash ∪ simhash ∪ substring standalone") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, String, Double)] =
+      df.select($"doc_a", $"doc_b", $"detector", $"score")
+        .as[(String, String, String, Double)].collect().toSet
+    val standalone =
+      rows(MinHashLSH.dupPairs(spark, docs, DedupConfig.default).toDF) ++
+      rows(SimHashDetector.dupPairs(spark, docs, DedupConfig.default).toDF) ++
+      rows(SubstringDetector.dupPairs(spark, docs, DedupConfig.default).toDF)
+    val fused = rows(FusedDetectors.dupPairs(spark, docs, DedupConfig.default,
+      withSubstring = true).toDF)
+    assert(fused == standalone,
+      s"fused-only=${fused.diff(standalone).take(3)} standalone-only=${standalone.diff(fused).take(3)}")
+    assert(fused.exists(_._3 == "substring"),
+      "equivalence test is vacuous: no substring pairs found")
+    assert(fused.exists(_._3 == "minhash") && fused.exists(_._3 == "simhash"),
+      "equivalence test is vacuous: a near-dup detector found no pairs")
+  }
+
+  test("fused triple signatures are bit-identical to the standalone kernels") {
+    import spark.implicits._
+    val cfg = DedupConfig.default
+    val f = FusedDetectors.signatures3(spark, docs, cfg)
+      .select($"conv_id", $"sig", $"simhash", $"anchors")
+      .as[(String, Array[Long], Long, Array[(Long, Long)])].collect()
+      .map(t => t._1 -> ((t._2.toSeq, t._3, t._4.toSeq))).toMap
+    val base = FusedDetectors.signatures(spark, docs, cfg)
+      .select($"conv_id", $"sig", $"simhash")
+      .as[(String, Array[Long], Long)].collect()
+      .map(t => t._1 -> ((t._2.toSeq, t._3))).toMap
+    val an = SubstringDetector.anchorKeys(spark, docs, cfg)
+      .collect().groupBy(_.conv_id)
+      .map { case (cid, ks) => cid -> ks.map(k => (k.k_hi, k.k_lo)).toSeq.sorted }
+    assert(f.size == base.size)
+    f.foreach { case (cid, (sig, sim, anchors)) =>
+      assert((sig, sim) == base(cid), s"near-dup signatures differ for $cid")
+      // anchorKeys explodes the kernel's sorted-distinct array; compare as sorted seqs
+      assert(anchors.sorted == an.getOrElse(cid, Seq.empty),
+        s"anchor keys differ for $cid")
+    }
+    assert(f.values.exists(_._3.nonEmpty), "vacuous: no doc produced anchors")
+  }
+
   test("fused signatures are bit-identical to the standalone kernels") {
     import spark.implicits._
     val f = FusedDetectors.signatures(spark, docs, DedupConfig.default)

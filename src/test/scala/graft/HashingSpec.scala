@@ -158,6 +158,23 @@ class HashingSpec extends AnyFunSuite {
     assert(pairs(substringAnchors128(a, 32, 8)) == aa)
   }
 
+  test("fusedSig3 is bit-identical to fusedSig + substringAnchors128") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog " * 12,
+      "alpha beta gamma", // shorter than q ⇒ no anchors
+      "")
+    for (t <- texts) {
+      val (mh3, sh3, an3) = fusedSig3(t, 5, 128, 42L, 3, 32, 8)
+      val (mh, sh) = fusedSig(t, 5, 128, 42L, 3)
+      assert(mh3.toSeq == mh.toSeq, s"minhash differs for len=${t.length}")
+      assert(sh3 == sh, s"simhash differs for len=${t.length}")
+      assert(an3.toSeq == substringAnchors128(t, 32, 8).toSeq,
+        s"anchors differ for len=${t.length}")
+    }
+    // non-vacuous: the long text must actually produce anchors
+    assert(fusedSig3(texts.head, 5, 128, 42L, 3, 32, 8)._3.nonEmpty)
+  }
+
   test("substringAnchors rejects non-power-of-two sample rates") {
     intercept[IllegalArgumentException] {
       substringAnchors("a b c", 2, 6)
