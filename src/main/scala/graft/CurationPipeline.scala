@@ -55,24 +55,12 @@ object CurationPipeline {
     val store = new TableStore(storeRoot)
     val metricsBuf = scala.collection.mutable.ArrayBuffer.empty[StageMetrics]
 
-    // same stage/metrics discipline as Pipeline.runStages
+    // same stage/metrics discipline as Pipeline.runStages — one shared
+    // implementation, so resumed-metric fixes apply to both pipelines
+    val recorder = new StageRecorder(store, metricsBuf)
     def timed[T](stage: String, obs: Observation)(
-        resumedFallback: => (Long, Long, Long))(body: => T): T = {
-      val resumed = store.isCommitted(stage)
-      val t0 = System.nanoTime()
-      val r = body
-      val wall = (System.nanoTime() - t0) / 1000000
-      val m: Map[String, Any] = if (resumed) Map.empty else obs.get
-      def metric(k: String): Long = m.get(k) match {
-        case Some(x: Number) => x.longValue
-        case _ => -1L
-      }
-      val (ri, ro, dp) =
-        if (m.nonEmpty) (metric("rows_in"), metric("rows_out"), metric("dup_pairs"))
-        else resumedFallback
-      metricsBuf += StageMetrics(stage, ri, ro, dp, wall)
-      r
-    }
+        resumedFallback: => (Long, Long, Long))(body: => T): T =
+      recorder.timed(stage, obs)(resumedFallback)(body)
 
     val obsVerdict = Observation()
     val verdictOut = timed("cur_verdict", obsVerdict)({

@@ -37,6 +37,39 @@ import graft.sources.{Layout, TableStore}
   * boolean-column scan) — a resumed run's metrics table carries no -1
   * placeholders anywhere.
   */
+/** Shared stage-metrics discipline for committed pipelines
+  * ([[Pipeline]], [[CurationPipeline]]): run one stage, record its
+  * counters. `obs` is attached to the stage's primary output inside the
+  * body, so the counters ride the write job; `resumedFallback` supplies
+  * (rows_in, rows_out, dup_pairs) when the stage was skipped as
+  * already-committed (re-derived from the committed tables — no -1
+  * placeholders, fresh or resumed). */
+private[graft] final class StageRecorder(
+    store: TableStore,
+    metricsBuf: scala.collection.mutable.ArrayBuffer[StageMetrics]) {
+
+  def timed[T](stage: String, obs: Observation)(
+      resumedFallback: => (Long, Long, Long))(body: => T): T = {
+    val resumed = store.isCommitted(stage)
+    val t0 = System.nanoTime()
+    val r = body
+    val wall = (System.nanoTime() - t0) / 1000000
+    // obs.get blocks until the metric arrives — safe only when the
+    // stage body actually executed (its write delivered the metric)
+    val m: Map[String, Any] = if (resumed) Map.empty else obs.get
+    def metric(k: String): Long = m.get(k) match {
+      case Some(n: Number) => n.longValue
+      case Some(_) => 0L // SQL NULL: sum() over a zero-row write
+      case None => -1L // metric key genuinely missing
+    }
+    val (ri, ro, dp) =
+      if (m.nonEmpty) (metric("rows_in"), metric("rows_out"), metric("dup_pairs"))
+      else resumedFallback
+    metricsBuf += StageMetrics(stage, ri, ro, dp, wall)
+    r
+  }
+}
+
 object Pipeline {
 
   /** Stable partition key: one conversation ⇒ one bucket. */
@@ -101,29 +134,10 @@ object Pipeline {
       metricsBuf: scala.collection.mutable.ArrayBuffer[StageMetrics]): Result = {
     import spark.implicits._
 
-    /** Run one stage and record its metrics. `obs` is attached to the
-      * stage's primary output inside the body, so the counters ride the
-      * write job; `resumedFallback` supplies (rows_in, rows_out,
-      * dup_pairs) when the stage was skipped as already-committed. */
+    val recorder = new StageRecorder(store, metricsBuf)
     def timed[T](stage: String, obs: Observation)(
-        resumedFallback: => (Long, Long, Long))(body: => T): T = {
-      val resumed = store.isCommitted(stage)
-      val t0 = System.nanoTime()
-      val r = body
-      val wall = (System.nanoTime() - t0) / 1000000
-      // obs.get blocks until the metric arrives — safe only when the
-      // stage body actually executed (its write delivered the metric)
-      val m: Map[String, Any] = if (resumed) Map.empty else obs.get
-      def metric(k: String): Long = m.get(k) match {
-        case Some(n: Number) => n.longValue
-        case _ => -1L // null (empty input) or missing
-      }
-      val (ri, ro, dp) =
-        if (m.nonEmpty) (metric("rows_in"), metric("rows_out"), metric("dup_pairs"))
-        else resumedFallback
-      metricsBuf += StageMetrics(stage, ri, ro, dp, wall)
-      r
-    }
+        resumedFallback: => (Long, Long, Long))(body: => T): T =
+      recorder.timed(stage, obs)(resumedFallback)(body)
     /** Zero-column count of an already-committed table (cheap scan). */
     def committedCount(stage: String, table: String): Long =
       store.read(spark, stage, table).count()
@@ -131,9 +145,11 @@ object Pipeline {
     val obsDocs = Observation()
     val docsOut = timed("docs", obsDocs)({
       // rows_in (turns folded into docs) is the committed docs table's
-      // n_turns sum — a one-column scan, no transcript re-read
+      // n_turns sum — a one-column scan, no transcript re-read;
+      // coalesce: the sum is SQL NULL over an empty committed table
       val committed = store.read(spark, "docs", "docs")
-      val ri = committed.agg(sum($"n_turns").cast("long")).as[Long].head()
+      val ri = committed.agg(coalesce(sum($"n_turns"), lit(0L)).cast("long"))
+        .as[Long].head()
       (ri, committed.count(), 0L)
     }) {
       store.stage(spark, "docs", Seq("docs")) {

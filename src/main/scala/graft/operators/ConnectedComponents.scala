@@ -211,19 +211,25 @@ object ConnectedComponents {
     * min differs from itself (identity rows come from the dict overlay
     * in the caller). Primitive arrays throughout — an open-addressing
     * long table (≤50% load) indexing a parent array with path halving —
-    * so the per-task footprint is ~24 B/node, bounded by `cap`. The
-    * output is a pure function of the partition's edge SET (union-find
-    * membership is order-independent, and the only order-sensitive
-    * state — which edges fit under the cap — is collapsed to an
-    * all-or-nothing rule on the order-independent distinct-node count),
-    * so task retries reproduce it exactly. */
+    * so the per-task footprint is ~24 B/node, GROWN on demand (the
+    * table starts at 2^14 slots and doubles; a task's allocation tracks
+    * its partition's distinct-node count, never the worst-case `cap`:
+    * executors run many tasks concurrently, and paying ~110 MB per task
+    * up front for partitions sized to ~64k nodes is an OOM risk at
+    * common executor memory sizes). The output is a pure function of
+    * the partition's edge SET (union-find membership is
+    * order-independent, and the only order-sensitive state — which
+    * edges fit under the cap — is collapsed to an all-or-nothing rule
+    * on the order-independent distinct-node count), so task retries
+    * reproduce it exactly. */
   private[graft] def localSeeds(
       it: Iterator[(Long, Long)], cap: Int): Iterator[(Long, Long)] = {
-    val tableSize = Integer.highestOneBit(math.max(cap, 16)) * 4
-    val mask = tableSize - 1
-    val keys = Array.fill[Long](tableSize)(-1L) // coded ids are ≥ 0
-    val slotOf = new Array[Int](tableSize)
-    val parent = new Array[Int](cap)
+    val maxTable = Integer.highestOneBit(math.max(cap, 16)) * 4
+    var tableSize = math.min(1 << 14, maxTable)
+    var mask = tableSize - 1
+    var keys = Array.fill[Long](tableSize)(-1L) // coded ids are ≥ 0
+    var slotOf = new Array[Int](tableSize)
+    var parent = new Array[Int](math.min(cap, tableSize / 2))
     var n = 0
     var overflow = false
     def find(x0: Int): Int = {
@@ -238,11 +244,29 @@ object ConnectedComponents {
       while (keys(i) >= 0 && keys(i) != id) i = (i + 1) & mask
       i
     }
+    def grow(): Unit = {
+      val old = keys; val oldSlot = slotOf
+      tableSize *= 2; mask = tableSize - 1
+      keys = Array.fill[Long](tableSize)(-1L)
+      slotOf = new Array[Int](tableSize)
+      var i = 0
+      while (i < old.length) {
+        if (old(i) >= 0) { val j = tableIdx(old(i)); keys(j) = old(i); slotOf(j) = oldSlot(i) }
+        i += 1
+      }
+    }
     def slot(id: Long): Int = {
       val i = tableIdx(id)
       if (keys(i) == id) slotOf(i)
       else if (n >= cap) { overflow = true; -1 }
-      else { keys(i) = id; slotOf(i) = n; parent(n) = n; n += 1; n - 1 }
+      else {
+        if (n == parent.length)
+          parent = java.util.Arrays.copyOf(parent, math.min(cap, parent.length * 2))
+        keys(i) = id; slotOf(i) = n; parent(n) = n; n += 1
+        // keep load ≤ 50%; re-probe not needed for the slot just written
+        if (n * 2 >= tableSize && tableSize < maxTable) grow()
+        n - 1
+      }
     }
     while (it.hasNext && !overflow) {
       val (s, d) = it.next()

@@ -385,18 +385,21 @@ object IvfIndex {
       Array.tabulate(s)(i => fitted.getOrElse(i, Array(superC(i)))))
   }
 
-  /** Two-level nearest leaf: argmin super-cell, then argmin leaf inside
-    * it — S + |leaves(s)| distance evals instead of nCells. */
-  private def nearestCellHier(v: Array[Double], m: HierCentroids): Long = {
-    val sup = nearestCell(v, m.superCents)
-    (m.offsets(sup) + nearestCell(v, m.subCents(sup))).toLong
-  }
+  /** Two-level nearest leaf = the rank-0 probe ([[nearestCellsHier]]
+    * with nProbe = 1), so cell MEMBERSHIP and PROBING agree by
+    * construction even for a vector on a super-cell boundary whose
+    * globally nearest leaf lives in its second-nearest super-cell —
+    * a greedy commit-to-one-super assignment would put it in a cell
+    * its own rank-0 probe never visits. Cost: leaves of the 2 nearest
+    * super-cells, still ≪ nCells. */
+  private def nearestCellHier(v: Array[Double], m: HierCentroids): Long =
+    nearestCellsHier(v, m, 1)(0)
 
   /** `nProbe` nearest leaves drawn from the TWO nearest super-cells
     * (multi-probe across the super boundary — a vector sitting on a
     * super-cell edge still probes its true neighbors' region), ascending
-    * by (distance, leaf id); ties to the lower leaf, matching
-    * [[nearestCellHier]]'s scan-order rule. */
+    * by (distance, leaf id); distance ties go to the LOWER leaf id,
+    * regardless of which super-cell it came from. */
   private def nearestCellsHier(
       v: Array[Double], m: HierCentroids, nProbe: Int): Array[Long] = {
     val sups = nearestCells(v, m.superCents, math.min(2, m.superCents.length))
@@ -405,6 +408,10 @@ object IvfIndex {
     val k = math.min(nProbe, total)
     val bestD = Array.fill(k)(Double.MaxValue)
     val bestC = Array.fill(k)(-1L)
+    // (d2, leaf) strictly better than slot i? — lexicographic, so equal
+    // distances keep the lower leaf id whatever the scan order
+    def better(d2: Double, leaf: Long, i: Int): Boolean =
+      d2 < bestD(i) || (d2 == bestD(i) && (bestC(i) < 0 || leaf < bestC(i)))
     for (sup <- sups) {
       val subs = m.subCents(sup)
       val off = m.offsets(sup)
@@ -418,12 +425,13 @@ object IvfIndex {
           d2 += diff * diff
           d += 1
         }
-        if (d2 < bestD(k - 1)) {
+        val leaf = off + c
+        if (better(d2, leaf, k - 1)) {
           var i = k - 1
-          while (i > 0 && d2 < bestD(i - 1)) {
+          while (i > 0 && better(d2, leaf, i - 1)) {
             bestD(i) = bestD(i - 1); bestC(i) = bestC(i - 1); i -= 1
           }
-          bestD(i) = d2; bestC(i) = off + c
+          bestD(i) = d2; bestC(i) = leaf
         }
         c += 1
       }

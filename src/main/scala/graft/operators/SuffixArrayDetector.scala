@@ -196,9 +196,16 @@ object SuffixArrayDetector {
       .as[DupPair]
       .localCheckpoint(true)
     // `out` is materialized (localCheckpoint above), so the accumulator
-    // is final here; the count makes prefix-only coverage auditable
+    // is final here; the count makes prefix-only coverage auditable.
+    // AT-LEAST-ONCE: the add() runs inside a transformation, so a task
+    // retry / lost-cached-partition recompute / speculative duplicate
+    // counts the same doc again — Spark only dedups accumulator updates
+    // from actions. Acceptable for a warn-threshold diagnostic (zero
+    // stays exactly zero; a positive count may overstate); an exact
+    // count would cost a second tokenization pass over the corpus.
     if (truncAcc.value > 0)
-      System.err.println(s"[suffix_array] truncated ${truncAcc.value} doc(s) " +
+      System.err.println(s"[suffix_array] truncated >=${truncAcc.value} doc(s) " +
+        s"(at-least-once count; retries may double-count) " +
         s"to their first $maxTokens tokens (shared runs past the cut are not linked)")
     suffixes.unpersist(false)
     docIds.unpersist(false)

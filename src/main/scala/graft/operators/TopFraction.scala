@@ -34,11 +34,15 @@ object TopFraction {
     require(keepPermille >= 1 && keepPermille <= 1000,
       "keepPermille must be in [1, 1000]")
     val sc = col(scoreCol)
-    // driver-sized histogram: (distinct score, count) — ONE pass
-    val hist = df.groupBy(sc.cast("long").as("s")).agg(count(lit(1)).as("n"))
+    // driver-sized histogram: (distinct score, count) — ONE pass.
+    // NULL scores are excluded up front: they can never satisfy the
+    // final `score >= cut` predicate anyway, and a null-keyed histogram
+    // group would NPE the driver-side decode below.
+    val hist = df.filter(sc.isNotNull)
+      .groupBy(sc.cast("long").as("s")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(-_._1)
-    if (hist.isEmpty) return df
+    if (hist.isEmpty) return df.filter(sc.isNotNull) // empty or all-NULL input
     val total = hist.map(_._2).sum
     val target = math.max(1L, (keepPermille * total + 999L) / 1000L)
     // walk the histogram from the top score down to the cut
