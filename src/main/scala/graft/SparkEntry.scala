@@ -139,6 +139,75 @@ object SparkEntry {
       "UNION ALL SELECT doc_id + 2000000 AS doc_id, text || ' uniqtail' || CAST(doc_id AS VARCHAR) AS text " +
       "FROM documents WHERE doc_id % 25 = 2"
 
+  /** Multi-line corpus for LINE-level dedup: each base doc becomes
+    * base-text line + (for doc_id ≡ 3 mod 7) one of 5 shared
+    * boilerplate lines (high document frequency — the boilerplate-rule
+    * target) + a unique tail line; every doc_id ≡ 1 (mod 25) gains an
+    * EXACT later copy (doc_id + 10^6) whose every line is owned by the
+    * base doc, so the copy must come back fully cut while the owner
+    * comes back verbatim. */
+  private def multiLineDocuments(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lined = readT(s, dir, "documents").select($"doc_id",
+      concat($"text", lit("\n"),
+        when($"doc_id" % 7 === 3,
+          concat(lit("shared boilerplate line "),
+            ($"doc_id" % 5).cast("string"), lit("\n"))).otherwise(lit("")),
+        lit("tail "), $"doc_id".cast("string")).as("text"))
+    lined.unionByName(lined.filter($"doc_id" % 25 === 1)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text"))
+  }
+
+  /** DuckDB rendering of [[multiLineDocuments]] (the lined-text
+    * expression is interpolated twice so the fixture stays a plain
+    * subquery — no nested WITH inside the oracle's own CTE). */
+  private val multiLineDocsSql: String = {
+    val lined = "SELECT doc_id, text || chr(10) || " +
+      "CASE WHEN doc_id % 7 = 3 THEN 'shared boilerplate line ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ELSE '' END " +
+      "|| 'tail ' || CAST(doc_id AS VARCHAR) AS text FROM documents"
+    s"SELECT doc_id, text FROM ($lined) ml1 " +
+      s"UNION ALL SELECT doc_id + 1000000 AS doc_id, text FROM ($lined) ml2 WHERE doc_id % 25 = 1"
+  }
+
+  /** DuckDB replay of [[LineDedup.cutDuplicateLines]] over
+    * [[multiLineDocsSql]]: split every doc into (line_idx, line),
+    * key on the SAME normalization frame the engine's fp applies
+    * internally (lower + whitespace collapse + trim), recompute
+    * first-writer ownership + document frequency from the line
+    * strings, cut by index, and reassemble the text with chr(10) —
+    * a full row-level compare of every output string. With
+    * `boilerplate`, lines in >= 4 docs are cut from the owner too. */
+  private def lineDedupOracleSql(boilerplate: Boolean): String = {
+    val cutCond =
+      if (boilerplate) "own.n_docs >= 2 AND (k.doc_id <> own.owner OR own.n_docs >= 4)"
+      else "own.n_docs >= 2 AND k.doc_id <> own.owner"
+    s"""WITH d AS ($multiLineDocsSql),
+       |l AS (SELECT doc_id,
+       |        generate_subscripts(string_split(text, chr(10)), 1) - 1 AS line_idx,
+       |        unnest(string_split(text, chr(10))) AS line
+       |      FROM d),
+       |k AS (SELECT doc_id, line_idx,
+       |        trim(regexp_replace(lower(line), '\\s+', ' ', 'g')) AS norm
+       |      FROM l),
+       |own AS (SELECT norm, min(doc_id) AS owner, count(DISTINCT doc_id) AS n_docs
+       |        FROM k WHERE norm <> '' GROUP BY norm),
+       |cuts AS (SELECT k.doc_id, k.line_idx
+       |         FROM k JOIN own USING (norm)
+       |         WHERE $cutCond),
+       |agg AS (SELECT doc_id, count(*) AS n_cut FROM cuts GROUP BY doc_id),
+       |kept AS (SELECT l.doc_id, l.line_idx, l.line
+       |         FROM l LEFT JOIN cuts c
+       |           ON l.doc_id = c.doc_id AND l.line_idx = c.line_idx
+       |         WHERE c.doc_id IS NULL)
+       |SELECT d.doc_id,
+       |  coalesce(kk.cut_text, '') AS cut_text,
+       |  CAST(coalesce(agg.n_cut, 0) AS BIGINT) AS n_cut_lines
+       |FROM d
+       |LEFT JOIN (SELECT doc_id, string_agg(line, chr(10) ORDER BY line_idx) AS cut_text
+       |           FROM kept GROUP BY doc_id) kk USING (doc_id)
+       |LEFT JOIN agg USING (doc_id)""".stripMargin
+  }
+
   /** DuckDB rendering of [[plantedPiiDocuments]]. Kept single-line so
     * embedding it inside another stripMargin'd SQL string can't eat a
     * line-leading `||` operator's first pipe. */
@@ -247,11 +316,25 @@ object SparkEntry {
         .select($"conv_id", $"doc_text", $"n_turns",
           unix_micros($"ts_min".cast("timestamp")).as("ts_min_us"))
     }),
+    // role-filtered assembly: the near-dup document built from
+    // user+assistant turns only (tool turns — machine noise — counted
+    // but excluded from the text); full row-level doc_text compare
+    "q_doc_assembly_roles" -> ((s, dir) => {
+      import s.implicits._
+      DocAssembly.assembleRoles(s, transcriptsView(s, dir), Seq("user", "assistant"))
+        .select($"conv_id", $"doc_text", $"n_turns", $"n_kept_turns",
+          unix_micros($"ts_min".cast("timestamp")).as("ts_min_us"))
+    }),
     "q_doc_exact_pairs" -> ((s, dir) => {
       import s.implicits._
       val docs = DocAssembly.assemble(s, transcriptsView(s, dir)).toDF
       ExactDedup.docDupPairs(s, docs).select($"doc_a", $"doc_b", $"detector")
     }),
+    // corpus duplication profile over the span-dup corpus (planted
+    // copies give a real df>=2 tail); DuckDB recomputes every gram's
+    // document frequency from the gram STRINGS
+    "q_dup_profile" -> ((s, dir) =>
+      SpanDedup.duplicationProfile(s, spanDupDocuments(s, dir), n = 13)),
     "q_restore_equality" -> ((s, dir) => {
       import s.implicits._
       val t = transcriptsView(s, dir)
@@ -540,6 +623,20 @@ object SparkEntry {
     // recomputes ownership from the gram STRINGS and replays the cut.
     "q_substr_cut" -> ((s, dir) =>
       SpanDedup.cutDuplicateSpans(s, spanDupDocuments(s, dir), n = 13)),
+    // line-level dedup (C4/RefinedWeb family): over the multi-line
+    // corpus — exact later copies come back fully cut (every line owned
+    // by the base doc), shared boilerplate lines stay with their first
+    // writer, owners come back verbatim. Full row-level oracle: DuckDB
+    // recomputes line ownership from the line STRINGS and replays the
+    // index cut (pins hashed keying = exact-string semantics).
+    "q_line_dedup" -> ((s, dir) =>
+      LineDedup.cutDuplicateLines(s, multiLineDocuments(s, dir))),
+    // same with the RefinedWeb boilerplate rule: a line in >= 4
+    // distinct docs is removed EVERYWHERE (owner included) — the
+    // planted boilerplate lines cross that threshold, the df=2
+    // copy-owned lines stay first-writer-kept
+    "q_line_boilerplate" -> ((s, dir) =>
+      LineDedup.cutDuplicateLines(s, multiLineDocuments(s, dir), boilerplateDf = 4L)),
     // PII counts over the planted-PII corpus (planted rows non-vacuous,
     // untouched rows assert zero false positives); DuckDB runs the
     // IDENTICAL RE2-safe regexes.
@@ -871,6 +968,31 @@ object SparkEntry {
          |  CAST(count(*) AS INT) AS n_turns,
          |  epoch_us(min(ts)) AS ts_min_us
          |FROM t GROUP BY conv_id""".stripMargin,
+    "q_doc_assembly_roles" ->
+      s"""WITH t AS ($transcriptsViewSql)
+         |SELECT conv_id,
+         |  coalesce(string_agg(CASE WHEN role IN ('user', 'assistant') THEN text END,
+         |                      chr(30) ORDER BY turn_idx), '') AS doc_text,
+         |  CAST(count(*) AS INT) AS n_turns,
+         |  CAST(count(CASE WHEN role IN ('user', 'assistant') THEN 1 END) AS INT) AS n_kept_turns,
+         |  epoch_us(min(ts)) AS ts_min_us
+         |FROM t GROUP BY conv_id""".stripMargin,
+    // duplication profile: per document-frequency bucket, how many
+    // DISTINCT 13-grams occur in exactly that many docs — recomputed
+    // from the gram strings
+    "q_dup_profile" ->
+      s"""WITH d AS ($spanDupDocsSql),
+         |t AS (
+         |  SELECT doc_id, string_split(
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS toks
+         |  FROM d),
+         |gi AS (SELECT doc_id, unnest(range(1, len(toks) - 11)) AS i
+         |       FROM t WHERE len(toks) >= 13),
+         |g AS (SELECT DISTINCT gi.doc_id,
+         |        array_to_string(t.toks[gi.i:gi.i+12], ' ') AS gram
+         |      FROM gi JOIN t USING (doc_id)),
+         |f AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+         |SELECT df, CAST(count(*) AS BIGINT) AS n_grams FROM f GROUP BY df""".stripMargin,
     "q_doc_exact_pairs" ->
       s"""WITH t AS ($transcriptsViewSql),
          |docs AS (
@@ -1310,6 +1432,12 @@ object SparkEntry {
          |    x -> x IS NOT NULL), ' '), '') AS cut_text,
          |  CAST(coalesce(len(hits.hp), 0) AS BIGINT) AS n_hit_grams
          |FROM t LEFT JOIN hits USING (doc_id)""".stripMargin,
+    // line-level dedup: ownership recomputed from the line STRINGS
+    // (min doc_id over distinct docs per normalized line; only lines in
+    // >= 2 docs cut, whitespace-only lines never keys), then the cut
+    // replayed by index and the text reassembled line by line
+    "q_line_dedup" -> lineDedupOracleSql(boilerplate = false),
+    "q_line_boilerplate" -> lineDedupOracleSql(boilerplate = true),
     "q_pii" -> {
       val pii = TextAnalysis.piiPatterns.toMap
       val (email, ip, phone) = (pii("email"), pii("ip"), pii("phone"))

@@ -40,4 +40,35 @@ object DocAssembly {
         min($"ts").as("ts_min"))
       .as[Doc]
   }
+
+  /** Role-filtered assembly for agent/conversation transcripts: the
+    * document is built from only `roles`' turns (same stable turn_idx
+    * order, same one-shuffle shape as [[assemble]]). Tool outputs in
+    * agent transcripts are machine-generated and hyper-repetitive —
+    * logs, stack traces, retrieval payloads — so shingling them lets
+    * tool noise glue unrelated conversations into one near-dup cluster;
+    * production transcript dedup shingles user+assistant text only.
+    * `n_turns` still counts ALL turns (the conversation's identity);
+    * `n_kept_turns` counts the contributing ones. A conversation with
+    * no kept turns yields doc_text = "" (callers filter or route). */
+  def assembleRoles(
+      spark: SparkSession, transcripts: DataFrame,
+      roles: Seq[String]): DataFrame = {
+    import spark.implicits._
+    require(roles.nonEmpty, "assembleRoles: roles must be non-empty")
+    transcripts
+      .groupBy($"conv_id")
+      .agg(
+        // when() without otherwise() is NULL off-role, and collect_list
+        // drops NULLs — one conditional aggregate, no pre-filter join
+        concat_ws(
+          TurnSep,
+          transform(
+            array_sort(collect_list(
+              when($"role".isin(roles: _*), struct($"turn_idx", $"text")))),
+            x => x.getField("text"))).as("doc_text"),
+        count(lit(1)).cast("int").as("n_turns"),
+        count(when($"role".isin(roles: _*), lit(1))).cast("int").as("n_kept_turns"),
+        min($"ts").as("ts_min"))
+  }
 }

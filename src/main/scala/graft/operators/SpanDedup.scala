@@ -82,4 +82,33 @@ object SpanDedup {
       .agg(sort_array(collect_list($"pos")).as("hit_pos"))
     Decontaminate.applyCut(spark, docs, hits, idCol, textCol, n)
   }
+
+  /** Corpus duplication profile — the diagnostic histogram behind the
+    * ExactSubstr paper's corpus analysis (Lee et al. ACL'22 fig. 2
+    * family): for each document frequency `df`, how many DISTINCT
+    * token n-grams occur in exactly `df` documents. df=1 is the unique
+    * mass; the df>=2 tail is what [[cutDuplicateSpans]] would remove;
+    * a heavy high-df tail means boilerplate. Run it before committing
+    * to a cut threshold.
+    *
+    * Scale shape: one tokenization pass (same 128-bit positional gram
+    * kernel — gram strings never materialize), distinct (gram, doc),
+    * then two partial-aggregated groupBys over 16-byte keys. The
+    * result is driver-sized (distinct df values ≤ max df, practically
+    * a few hundred rows at any corpus size). */
+  def duplicationProfile(
+      spark: SparkSession, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 13): DataFrame = {
+    import spark.implicits._
+    require(n >= 2, s"duplicationProfile: n must be >= 2, got $n")
+    graft.plans.GraftFunctions.register(spark)
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(call_function("graft_gram_fps_pos", col(textCol), lit(n))).as("g"))
+      .select($"doc_id", struct($"g.hi".as("hi"), $"g.lo".as("lo")).as("gfp"))
+      .distinct()
+      .groupBy($"gfp").agg(count(lit(1)).as("df"))
+      .groupBy($"df").agg(count(lit(1)).as("n_grams"))
+  }
 }

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.LineDedup
+
+class LineDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String)],
+      minDf: Long = 2L, boilerplateDf: Long = Long.MaxValue): Map[Long, (String, Long)] =
+    LineDedup.cutDuplicateLines(spark, rows.toDF("doc_id", "text"),
+        minDf = minDf, boilerplateDf = boilerplateDf)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+
+  test("exact later copy fully cut; owner verbatim") {
+    val out = run(Seq(
+      1L -> "alpha one\nbeta two\ntail 1",
+      2L -> "alpha one\nbeta two\ntail 1"))
+    assert(out(1L) === (("alpha one\nbeta two\ntail 1", 0L)))
+    assert(out(2L) === (("", 3L)))
+  }
+
+  test("shared line cut from later docs only; unique lines survive in place") {
+    val out = run(Seq(
+      1L -> "unique to one\nshared boilerplate\nalso one",
+      2L -> "unique to two\nshared boilerplate\nalso two",
+      3L -> "shared boilerplate\nunique to three"))
+    assert(out(1L)._1 === "unique to one\nshared boilerplate\nalso one")
+    assert(out(2L) === (("unique to two\nalso two", 1L)))
+    assert(out(3L) === (("unique to three", 1L)))
+  }
+
+  test("boilerplate rule removes high-df lines from the owner too") {
+    val docs = (1L to 5L).map(i => i -> s"cookie banner line\ndoc body $i")
+    val out = run(docs, boilerplateDf = 4L)
+    (1L to 5L).foreach { i =>
+      assert(out(i) === ((s"doc body $i", 1L)), s"doc $i")
+    }
+    // below the boilerplate threshold, first writer still keeps
+    val out2 = run(Seq(1L -> "df two line\nbody 1", 2L -> "df two line\nbody 2"),
+      boilerplateDf = 4L)
+    assert(out2(1L) === (("df two line\nbody 1", 0L)))
+    assert(out2(2L) === (("body 2", 1L)))
+  }
+
+  test("whitespace-only and empty lines are never keys, never cut") {
+    val out = run(Seq(
+      1L -> "top\n\n   \nbottom one",
+      2L -> "top\n\n   \nbottom two"))
+    assert(out(1L) === (("top\n\n   \nbottom one", 0L)))
+    // doc 2 loses only "top" — its blank and whitespace lines survive
+    assert(out(2L) === (("\n   \nbottom two", 1L)))
+  }
+
+  test("within-doc repeats: df counts distinct docs; non-owners lose every occurrence") {
+    val out = run(Seq(
+      1L -> "solo repeat\nsolo repeat\nmine",
+      2L -> "other doc body"))
+    // df("solo repeat") = 1 doc → never cut despite two occurrences
+    assert(out(1L) === (("solo repeat\nsolo repeat\nmine", 0L)))
+    val out2 = run(Seq(
+      1L -> "dup line\nowner body",
+      2L -> "dup line\nmid\ndup line"))
+    assert(out2(1L)._2 === 0L)
+    // both occurrences in the later doc are cut (n_cut_lines counts occurrences)
+    assert(out2(2L) === (("mid", 2L)))
+  }
+
+  test("keying is normalization-framed: case/whitespace variants are the same line") {
+    val out = run(Seq(
+      1L -> "Shared   Line\nbody one",
+      2L -> "shared line\nbody two"))
+    assert(out(1L)._2 === 0L)
+    assert(out(2L) === (("body two", 1L)))
+    // but survivors keep their ORIGINAL bytes
+    assert(out(1L)._1 === "Shared   Line\nbody one")
+  }
+
+  test("document text never shuffles: the cut is a per-row HOF over the doc's own scan") {
+    val docs = Seq(1L -> "a\nb", 2L -> "a\nc").toDF("doc_id", "text")
+    val plan = LineDedup.cutDuplicateLines(spark, docs)
+      .queryExecution.optimizedPlan
+    // every aggregate/join input above the text scan carries only
+    // (doc_id, line_idx, fp) — no string column named "line"/"text"
+    // may appear in any Exchange's output
+    val exchanges = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(exchanges.nonEmpty)
+    val aggOverText = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.groupingExpressions.nonEmpty &&
+            a.child.output.exists(att =>
+              att.name == "line" &&
+                att.dataType == org.apache.spark.sql.types.StringType) => a
+    }
+    assert(aggOverText.isEmpty,
+      s"a grouping aggregate consumes raw line text:\n${aggOverText.mkString("\n")}")
+  }
+}

@@ -679,4 +679,36 @@ class TrainingOpsSpec extends SparkSpec {
     assert(scrubbed(2L) == "call <PHONE> now")
     assert(scrubbed(3L) == "clean text with no personal data")
   }
+
+  test("assembleRoles keeps only selected roles' text in turn order; counts both frames") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t = Seq(
+      ("c1", 2, "assistant", "a-two", "", ts0),
+      ("c1", 0, "user", "u-zero", "", ts0),
+      ("c1", 1, "tool", "noisy tool dump", "grep", ts0),
+      ("c1", 3, "tool", "more noise", "ls", ts0),
+      ("c2", 0, "tool", "only tools here", "cat", ts0))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val out = operators.DocAssembly.assembleRoles(spark, t, Seq("user", "assistant"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out("c1") === (("u-zeroa-two", 4, 2)))
+    // a conversation with no kept turns still appears, with empty text
+    assert(out("c2") === (("", 1, 0)))
+  }
+
+  test("duplicationProfile: df histogram matches hand-computed gram frequencies") {
+    import spark.implicits._
+    // 4-token docs, n=2 → 3 grams per doc. doc1 and doc2 identical
+    // (each gram df=2); doc3 shares doc1's first bigram only (that
+    // gram df=3), contributing 2 unique grams of its own.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b c d"),
+      (3L, "a b x y")).toDF("doc_id", "text")
+    val prof = operators.SpanDedup.duplicationProfile(spark, docs, n = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // grams: "a b"(df3), "b c"(df2), "c d"(df2), "b x"(df1), "x y"(df1)
+    assert(prof === Map(3L -> 1L, 2L -> 2L, 1L -> 2L))
+  }
 }
