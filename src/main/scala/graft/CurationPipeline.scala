@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curate, SpanDedup}
+import graft.operators.{Curate, LineDedup, SpanDedup}
 import graft.sources.{Layout, TableStore}
 
 /** Committed, resumable CURATION pipeline — the release-run counterpart
@@ -43,14 +43,25 @@ object CurationPipeline {
       metrics: DataFrame)
 
   /** `docs`/`bench`: (doc_id: long, text: string) frames — bench is the
-    * eval set the decon axis guards against. */
+    * eval set the decon axis guards against.
+    *
+    * `lineBoilerplateDf`: when set, kept docs pass through
+    * [[LineDedup.cutDuplicateLines]] BEFORE the span cut (the
+    * RefinedWeb order — lines need their newlines, which the span
+    * pass's normalization collapses): duplicated lines keep one
+    * first-writer copy, lines reaching this document frequency are
+    * boilerplate and removed everywhere. The curated table always
+    * carries `n_cut_lines` (0 when the stage is off), so the resumed
+    * counter path reads one schema; stores committed by pre-line-dedup
+    * builds lack the column and must be recreated. */
   def run(
       spark: SparkSession,
       docs: DataFrame,
       bench: DataFrame,
       storeRoot: String,
       minQuality: Long = 60L,
-      n: Int = 13): Result = {
+      n: Int = 13,
+      lineBoilerplateDf: Option[Long] = None): Result = {
     import spark.implicits._
     val store = new TableStore(storeRoot)
     val metricsBuf = scala.collection.mutable.ArrayBuffer.empty[StageMetrics]
@@ -84,28 +95,47 @@ object CurationPipeline {
     }
 
     val obsCorpus = Observation()
-    val curatedOut = timed("cur_corpus", obsCorpus)({
-      // the cut is row-preserving over the kept docs, so rows_in =
+    var afterLinesCache: Option[DataFrame] = None
+    val curatedOut = try timed("cur_corpus", obsCorpus)({
+      // the cuts are row-preserving over the kept docs, so rows_in =
       // rows_out = the committed corpus count; dup_pairs (docs that
-      // lost spans) is one integer-column scan
+      // lost lines or spans) is one integer-column scan
       val committed = store.read(spark, "cur_corpus", "curated")
       val nRows = committed.count()
-      (nRows, nRows, committed.filter($"n_hit_grams" > 0).count())
+      (nRows, nRows,
+        committed.filter($"n_hit_grams" > 0 || $"n_cut_lines" > 0).count())
     }) {
       store.stage(spark, "cur_corpus", Seq("curated"),
         Map("curated" -> CorpusLayout)) {
         val kept = docs.join(
           verdictOut("verdict").filter($"keep").select($"doc_id"),
           Seq("doc_id"), "left_semi")
-        Map("curated" -> SpanDedup.cutDuplicateSpans(spark, kept, n = n)
-          .select($"doc_id", $"cut_text".as("text"), $"n_hit_grams")
+        val curated = lineBoilerplateDf match {
+          case Some(bdf) =>
+            // persisted: the frame feeds BOTH the span pass's scan and
+            // the n_cut_lines join-back (line dedup is two exchanges —
+            // recomputing it per consumer would double the stage)
+            val afterLines = LineDedup.cutDuplicateLines(spark, kept, boilerplateDf = bdf)
+              .select($"doc_id", $"cut_text".as("text"), $"n_cut_lines")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            afterLinesCache = Some(afterLines)
+            SpanDedup.cutDuplicateSpans(spark, afterLines, n = n)
+              .join(afterLines.select($"doc_id", $"n_cut_lines"), Seq("doc_id"))
+              .select($"doc_id", $"cut_text".as("text"), $"n_cut_lines", $"n_hit_grams")
+          case None =>
+            SpanDedup.cutDuplicateSpans(spark, kept, n = n)
+              .select($"doc_id", $"cut_text".as("text"),
+                lit(0L).as("n_cut_lines"), $"n_hit_grams")
+        }
+        Map("curated" -> curated
           .withColumn("pbucket", pbucket($"doc_id"))
           .observe(obsCorpus,
             count(lit(1)).as("rows_in"),
             count(lit(1)).as("rows_out"),
-            sum(when($"n_hit_grams" > 0, 1L).otherwise(0L)).as("dup_pairs")))
+            sum(when($"n_hit_grams" > 0 || $"n_cut_lines" > 0, 1L).otherwise(0L))
+              .as("dup_pairs")))
       }
-    }
+    } finally afterLinesCache.foreach(_.unpersist(false))
 
     val obsMetrics = Observation()
     val metrics = timed("cur_metrics", obsMetrics)(

@@ -17,6 +17,8 @@ object RunCuration {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val store = if (args.length > 1) args(1) else "/tmp/graft_cur_store"
     val cpus = if (args.length > 2) args(2) else sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    // optional: line-dedup boilerplate document frequency (off when absent)
+    val lineDf = if (args.length > 3) Some(args(3).toLong) else None
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-curation")
@@ -32,12 +34,16 @@ object RunCuration {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text")
     val res = CurationPipeline.run(spark, docs,
-      docs.filter($"doc_id" % 97 === 0), store)
+      docs.filter($"doc_id" % 97 === 0), store, lineBoilerplateDf = lineDf)
     val nDocs = docs.count()
     val nKept = res.curated.count()
     val nCut = res.curated.filter($"n_hit_grams" > 0).count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"curation: docs=$nDocs kept=$nKept span_cut_docs=$nCut " +
+    val lineNote =
+      if (lineDf.isDefined)
+        f" line_cut_docs=${res.curated.filter($"n_cut_lines" > 0).count()}"
+      else ""
+    println(f"curation: docs=$nDocs kept=$nKept span_cut_docs=$nCut$lineNote " +
       f"wall=$secs%.1fs docs_per_sec=${nDocs / secs}%.0f")
     res.metrics.orderBy("stage").show(10, false)
     spark.stop()

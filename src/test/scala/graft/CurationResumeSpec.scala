@@ -75,6 +75,39 @@ class CurationResumeSpec extends SparkSpec {
     assert(Files.getLastModifiedTime(vManifest) == mtime)
   }
 
+  test("line-dedup stage: boilerplate lines cut before the span pass; resume reproduces it") {
+    import spark.implicits._
+    val store = tmpDir("cur4")
+    // both keepers carry the same banner line; with boilerplateDf = 2
+    // it is boilerplate and must vanish from BOTH (owner included),
+    // after which the span pass proceeds exactly as in the base corpus.
+    // Doc 1 gets the banner too so it STAYS an exact dup of doc 0 (the
+    // verdict must keep dropping it — line dedup only sees kept docs).
+    val banner = "cookie banner please accept"
+    val docs = corpus(spark).select($"doc_id",
+      when($"doc_id".isin(0L, 1L, 6L), concat(lit(banner + "\n"), $"text"))
+        .otherwise($"text").as("text"))
+    def runLd() = CurationPipeline.run(spark, docs,
+      docs.filter($"doc_id" === 97L), store,
+      lineBoilerplateDf = Some(2L))
+    val res = runLd()
+    val cur = res.curated.select($"doc_id", $"text", $"n_cut_lines", $"n_hit_grams")
+      .as[(Long, String, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(cur(0L) == ((good.toLowerCase, 1L, 0L)))
+    assert(cur(6L) == (((1 to 40).map(i => s"v$i").mkString(" ") + ". fine text here?", 1L, 8L)))
+    assert(cur.size == 2)
+    val m = res.metrics.as[StageMetrics].collect().map(x => x.stage -> x).toMap
+    // dup_pairs counts docs that lost lines OR spans — here both did
+    assert(m("cur_corpus").dup_pairs == 2)
+    // fully resumed rerun re-derives the same counters from the tables
+    Files.deleteIfExists(Paths.get(store, "_manifest.cur_metrics.json"))
+    val res2 = runLd()
+    val m2 = res2.metrics.as[StageMetrics].collect().map(x => x.stage -> x).toMap
+    assert(m2("cur_corpus").rows_out == 2 && m2("cur_corpus").dup_pairs == 2)
+    assert(res2.metrics.filter($"rows_in" === -1L || $"rows_out" === -1L ||
+      $"dup_pairs" === -1L).count() == 0)
+  }
+
   test("fully resumed run re-derives every counter from the committed tables (no -1)") {
     import spark.implicits._
     val store = tmpDir("cur3")
