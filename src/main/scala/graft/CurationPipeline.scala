@@ -99,8 +99,13 @@ object CurationPipeline {
     val curatedOut = try timed("cur_corpus", obsCorpus)({
       // the cuts are row-preserving over the kept docs, so rows_in =
       // rows_out = the committed corpus count; dup_pairs (docs that
-      // lost lines or spans) is one integer-column scan
-      val committed = store.read(spark, "cur_corpus", "curated")
+      // lost lines or spans) is one integer-column scan. Stores
+      // committed by pre-line-dedup builds lack n_cut_lines — read
+      // them as 0 so their resume keeps working.
+      val committed0 = store.read(spark, "cur_corpus", "curated")
+      val committed =
+        if (committed0.columns.contains("n_cut_lines")) committed0
+        else committed0.withColumn("n_cut_lines", lit(0L))
       val nRows = committed.count()
       (nRows, nRows,
         committed.filter($"n_hit_grams" > 0 || $"n_cut_lines" > 0).count())
@@ -112,15 +117,16 @@ object CurationPipeline {
           Seq("doc_id"), "left_semi")
         val curated = lineBoilerplateDf match {
           case Some(bdf) =>
-            // persisted: the frame feeds BOTH the span pass's scan and
-            // the n_cut_lines join-back (line dedup is two exchanges —
-            // recomputing it per consumer would double the stage)
+            // persisted: the span pass scans its input three times
+            // (gram ownership, hit join, cut) — recomputing the line
+            // dedup per consumer would triple the stage. n_cut_lines
+            // rides through as a passthrough column (no join-back).
             val afterLines = LineDedup.cutDuplicateLines(spark, kept, boilerplateDf = bdf)
               .select($"doc_id", $"cut_text".as("text"), $"n_cut_lines")
               .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             afterLinesCache = Some(afterLines)
-            SpanDedup.cutDuplicateSpans(spark, afterLines, n = n)
-              .join(afterLines.select($"doc_id", $"n_cut_lines"), Seq("doc_id"))
+            SpanDedup.cutDuplicateSpans(spark, afterLines, n = n,
+                passthrough = Seq("n_cut_lines"))
               .select($"doc_id", $"cut_text".as("text"), $"n_cut_lines", $"n_hit_grams")
           case None =>
             SpanDedup.cutDuplicateSpans(spark, kept, n = n)

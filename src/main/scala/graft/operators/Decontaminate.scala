@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Train/eval decontamination: flag training documents that share any
@@ -125,7 +125,8 @@ object Decontaminate {
     * duplicate-span remediation ([[SpanDedup.cutDuplicateSpans]]). */
   private[operators] def applyCut(
       spark: SparkSession, docs: DataFrame, spans: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
+      idCol: String, textCol: String, n: Int,
+      passthrough: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     // \p{javaWhitespace} = Character.isWhitespace — the SAME frame the
     // positional kernel's tokenizer uses. Java-regex \s (ASCII-only)
@@ -133,17 +134,43 @@ object Decontaminate {
     // cutting the wrong tokens and LEAVING leaked benchmark text in.
     val toks = split(trim(regexp_replace(lower(col(textCol)),
       "\\p{javaWhitespace}+", " ")), " ")
-    // merge the sorted hit windows into disjoint [s, e) intervals with
-    // one aggregate pass (latest interval consed at the head): the
-    // remediation-worthy case is a heavily leaked doc whose hits are
-    // CONTIGUOUS — thousands of positions collapse to a handful of
-    // intervals, so the per-token coverage test is O(intervals), not
-    // O(hits).
-    val nL = lit(n.toLong)
-    val emptyIv = array().cast("array<struct<s:bigint,e:bigint>>")
-    val intervals = aggregate(
-      $"hit_pos",
-      emptyIv,
+    // intervals are computed UNDER the join (an output attribute of the
+    // spans branch): inside the filter lambda below they are a bound
+    // reference, so the merge runs once per doc — written inline at the
+    // lambda site, Catalyst would inline the aggregate into the lambda
+    // body and re-run it per TOKEN.
+    val spansIv = spans.select($"doc_id", $"hit_pos",
+      mergeIntervals($"hit_pos", n).as("iv"))
+    docs
+      .select((col(idCol).as("doc_id") +: toks.as("toks") +:
+        passthrough.map(col)): _*)
+      .join(spansIv, Seq("doc_id"), "left")
+      .select(
+        ($"doc_id" +:
+          concat_ws(" ",
+            filter($"toks", (tok, i) =>
+              !exists(coalesce($"iv", emptyIntervals),
+                iv => iv.getField("s") <= i.cast("long") &&
+                  i.cast("long") < iv.getField("e")))).as("cut_text") +:
+          coalesce(size($"hit_pos"), lit(0)).cast("bigint").as("n_hit_grams") +:
+          passthrough.map(col)): _*)
+  }
+
+  private[operators] val emptyIntervals =
+    array().cast("array<struct<s:bigint,e:bigint>>")
+
+  /** Merge SORTED window start positions (each covering [p, p+n)) into
+    * disjoint [s, e) intervals with one aggregate pass (latest interval
+    * consed at the head): the remediation-worthy case is a heavily
+    * duplicated/leaked doc whose hits are CONTIGUOUS — thousands of
+    * positions collapse to a handful of intervals, so a per-token (or
+    * per-line, [[LineDedup]]) coverage test is O(intervals), not
+    * O(hits). */
+  private[operators] def mergeIntervals(posCol: Column, n: Long): Column = {
+    val nL = lit(n)
+    aggregate(
+      posCol,
+      emptyIntervals,
       (acc, p) => {
         val head = element_at(acc, 1)
         when(size(acc) > 0 && p <= head.getField("e"),
@@ -153,22 +180,5 @@ object Decontaminate {
             slice(acc, lit(2), size(acc))))
           .otherwise(concat(array(struct(p.as("s"), (p + nL).as("e"))), acc))
       })
-    // intervals are computed UNDER the join (an output attribute of the
-    // spans branch): inside the filter lambda below they are a bound
-    // reference, so the merge runs once per doc — written inline at the
-    // lambda site, Catalyst would inline the aggregate into the lambda
-    // body and re-run it per TOKEN.
-    val spansIv = spans.select($"doc_id", $"hit_pos", intervals.as("iv"))
-    docs
-      .select(col(idCol).as("doc_id"), toks.as("toks"))
-      .join(spansIv, Seq("doc_id"), "left")
-      .select(
-        $"doc_id",
-        concat_ws(" ",
-          filter($"toks", (tok, i) =>
-            !exists(coalesce($"iv", emptyIv),
-              iv => iv.getField("s") <= i.cast("long") &&
-                i.cast("long") < iv.getField("e")))).as("cut_text"),
-        coalesce(size($"hit_pos"), lit(0)).cast("bigint").as("n_hit_grams"))
   }
 }

@@ -24,18 +24,28 @@ object DocAssembly {
     * U+001E (record separator) never occurs in normalized text. */
   val TurnSep = "\u001E"
 
+  /** The one doc_text aggregate both assembly variants share: sort by
+    * turn_idx (first struct field) inside the group — stable doc
+    * assembly without a global orderBy. `keep` gates which turns
+    * contribute (when() without otherwise() is NULL off-role, and
+    * collect_list drops NULLs — one conditional aggregate, no
+    * pre-filter join). */
+  private def docTextAgg(keep: Option[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.Column = {
+    val entry = struct(col("turn_idx"), col("text"))
+    concat_ws(
+      TurnSep,
+      transform(
+        array_sort(collect_list(keep.fold(entry)(c => when(c, entry)))),
+        x => x.getField("text")))
+  }
+
   def assemble(spark: SparkSession, transcripts: DataFrame): Dataset[Doc] = {
     import spark.implicits._
     transcripts
       .groupBy($"conv_id")
       .agg(
-        // sort by turn_idx (first struct field) inside the group —
-        // stable doc assembly without a global orderBy
-        concat_ws(
-          TurnSep,
-          transform(
-            array_sort(collect_list(struct($"turn_idx", $"text"))),
-            x => x.getField("text"))).as("doc_text"),
+        docTextAgg(None).as("doc_text"),
         count(lit(1)).cast("int").as("n_turns"),
         min($"ts").as("ts_min"))
       .as[Doc]
@@ -59,14 +69,7 @@ object DocAssembly {
     transcripts
       .groupBy($"conv_id")
       .agg(
-        // when() without otherwise() is NULL off-role, and collect_list
-        // drops NULLs — one conditional aggregate, no pre-filter join
-        concat_ws(
-          TurnSep,
-          transform(
-            array_sort(collect_list(
-              when($"role".isin(roles: _*), struct($"turn_idx", $"text")))),
-            x => x.getField("text"))).as("doc_text"),
+        docTextAgg(Some($"role".isin(roles: _*))).as("doc_text"),
         count(lit(1)).cast("int").as("n_turns"),
         count(when($"role".isin(roles: _*), lit(1))).cast("int").as("n_kept_turns"),
         min($"ts").as("ts_min"))

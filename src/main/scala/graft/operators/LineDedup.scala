@@ -34,8 +34,12 @@ import org.apache.spark.sql.functions._
   *  - the hit join is a shuffle equi-join on the fp (the duplicated-
   *    line side is corpus-dependent, NOT broadcastable);
   *  - the cut is a per-row higher-order filter over the doc's own
-  *    split — document text never leaves its scan (same plan contract
-  *    as [[Decontaminate.applyCut]], gated in PlanSpec).
+  *    split: cut indexes arrive interval-merged (a whole later copy is
+  *    ONE interval), so the test is O(intervals) per doc, and the only
+  *    join touching text carries a per-doc interval row on its other
+  *    side — broadcast when it fits (docs-with-cuts rows), one text
+  *    exchange at the sort-merge fallback (the price any rewrite of
+  *    those docs pays). Gated in LineDedupSpec.
   * Whitespace-only lines are never keys (every doc has them; cutting
   * them would shred formatting for no dedup value). The DuckDB oracle
   * (q_line_dedup / q_line_boilerplate) recomputes ownership from the
@@ -86,20 +90,31 @@ object LineDedup {
       .agg(min($"doc_id").as("owner"), count(lit(1)).as("n_docs"))
       .filter($"n_docs" >= minDf)
 
+    // merge the sorted cut indexes into [s, e) intervals (width-1
+    // windows through the shared Decontaminate merge): a fully
+    // duplicated doc's cut set is one contiguous run collapsing to ONE
+    // interval, so the per-line coverage test below is O(intervals),
+    // not O(cut lines) — an array_contains membership test would make
+    // exactly the target workload (whole later copies) quadratic.
     val cuts = occ.join(stats, Seq("lfp"))
       .filter($"doc_id" =!= $"owner" || $"n_docs" >= boilerplateDf)
       .groupBy($"doc_id")
-      .agg(collect_set($"line_idx").as("cut_idx"))
+      .agg(sort_array(collect_set($"line_idx".cast("long"))).as("cut_pos"))
+      .select($"doc_id",
+        Decontaminate.mergeIntervals($"cut_pos", 1L).as("iv"),
+        size($"cut_pos").cast("long").as("n_cut"))
 
     docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .join(cuts, Seq("doc_id"), "left")
       .select($"doc_id",
-        when($"cut_idx".isNull, $"text")
+        when($"iv".isNull, $"text")
           .otherwise(array_join(
             filter(split($"text", "\n", -1),
-              (_: Column, i: Column) => not(array_contains($"cut_idx", i))),
+              (_: Column, i: Column) => not(exists($"iv",
+                iv => iv.getField("s") <= i.cast("long") &&
+                  i.cast("long") < iv.getField("e")))),
             "\n"))
           .as("cut_text"),
-        coalesce(size($"cut_idx"), lit(0)).cast("long").as("n_cut_lines"))
+        coalesce($"n_cut", lit(0L)).as("n_cut_lines"))
   }
 }

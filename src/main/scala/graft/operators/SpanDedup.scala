@@ -56,11 +56,12 @@ object SpanDedup {
   /** One row per input doc: (doc_id, cut_text, n_hit_grams) where
     * n_hit_grams counts this doc's cut window occurrences (0 for
     * owners and docs sharing nothing — their text comes back
-    * normalized but intact). */
+    * normalized but intact). `passthrough` columns of `docs` are
+    * carried to the output unchanged (no join-back needed). */
   def cutDuplicateSpans(
       spark: SparkSession, docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      n: Int = 13): DataFrame = {
+      n: Int = 13, passthrough: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     require(n >= 2, s"spanDedup: n must be >= 2, got $n")
     graft.plans.GraftFunctions.register(spark)
@@ -80,7 +81,7 @@ object SpanDedup {
       .filter($"doc_id" =!= $"owner")
       .groupBy($"doc_id")
       .agg(sort_array(collect_list($"pos")).as("hit_pos"))
-    Decontaminate.applyCut(spark, docs, hits, idCol, textCol, n)
+    Decontaminate.applyCut(spark, docs, hits, idCol, textCol, n, passthrough)
   }
 
   /** Corpus duplication profile — the diagnostic histogram behind the

@@ -77,24 +77,24 @@ class LineDedupSpec extends SparkSpec {
 
   test("document text never shuffles: the cut is a per-row HOF over the doc's own scan") {
     val docs = Seq(1L -> "a\nb", 2L -> "a\nc").toDF("doc_id", "text")
-    val plan = LineDedup.cutDuplicateLines(spark, docs)
-      .queryExecution.optimizedPlan
-    // every aggregate/join input above the text scan carries only
-    // (doc_id, line_idx, fp) — no string column named "line"/"text"
-    // may appear in any Exchange's output
-    val exchanges = plan.collect {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
-      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-    }
-    assert(exchanges.nonEmpty)
-    val aggOverText = plan.collect {
+    val qe = LineDedup.cutDuplicateLines(spark, docs).queryExecution
+    // logical gate: no grouping aggregate consumes a raw line string —
+    // occurrences reduce to (doc_id, line_idx, fp) before any exchange
+    val aggOverText = qe.optimizedPlan.collect {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
           if a.groupingExpressions.nonEmpty &&
             a.child.output.exists(att =>
-              att.name == "line" &&
+              (att.name == "line" || att.name == "text") &&
                 att.dataType == org.apache.spark.sql.types.StringType) => a
     }
     assert(aggOverText.isEmpty,
       s"a grouping aggregate consumes raw line text:\n${aggOverText.mkString("\n")}")
+    // physical gate (same shape as the span-dedup gate): no shuffle
+    // exchange output may carry the text or a line column — the one
+    // join touching text must broadcast its (small) cuts side
+    val plan = qe.executedPlan.toString
+    val shuffles = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toList
+    assert(shuffles.nonEmpty)
+    for (l <- shuffles) assert(!l.contains("text") && !l.contains("line,"), l)
   }
 }
