@@ -156,7 +156,7 @@ object Decontaminate {
           passthrough.map(col)): _*)
   }
 
-  private[operators] val emptyIntervals =
+  private[graft] val emptyIntervals =
     array().cast("array<struct<s:bigint,e:bigint>>")
 
   /** Merge SORTED window start positions (each covering [p, p+n)) into
@@ -166,7 +166,7 @@ object Decontaminate {
     * positions collapse to a handful of intervals, so a per-token (or
     * per-line, [[LineDedup]]) coverage test is O(intervals), not
     * O(hits). */
-  private[operators] def mergeIntervals(posCol: Column, n: Long): Column = {
+  private[graft] def mergeIntervals(posCol: Column, n: Long): Column = {
     val nL = lit(n)
     aggregate(
       posCol,

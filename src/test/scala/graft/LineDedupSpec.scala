@@ -75,6 +75,31 @@ class LineDedupSpec extends SparkSpec {
     assert(out(1L)._1 === "Shared   Line\nbody one")
   }
 
+  test("mergeIntervals covers exactly the union of windows (seeded random cases)") {
+    // the helper is now shared by three cut paths — pin its coverage
+    // semantics against a brute-force recompute over random inputs
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(20260819L)
+    val cases = (0 until 40).map { _ =>
+      val n = 1 + rnd.nextInt(5)
+      val pos = Seq.fill(rnd.nextInt(12))(rnd.nextInt(30).toLong).sorted
+      (pos, n)
+    } :+ ((Seq.empty[Long], 3)) :+ ((Seq(0L, 1L, 2L), 1))
+    for (((pos, n), i) <- cases.zipWithIndex) {
+      val df = Seq(Tuple1(pos)).toDF("hit_pos")
+        .select(graft.operators.Decontaminate.mergeIntervals(col("hit_pos"), n.toLong).as("iv"))
+      val ivs = df.collect()(0).getSeq[org.apache.spark.sql.Row](0)
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val covered = ivs.flatMap { case (s, e) => s until e }.toSet
+      val expected = pos.flatMap(p => p until p + n).toSet
+      assert(covered == expected, s"case $i: pos=$pos n=$n ivs=$ivs")
+      // intervals are disjoint and non-adjacent (a merge happened wherever possible)
+      val sortedIv = ivs.sortBy(_._1)
+      for (Seq((_, e1), (s2, _)) <- sortedIv.sliding(2) if sortedIv.size > 1)
+        assert(e1 < s2, s"case $i: overlapping/adjacent intervals $sortedIv")
+    }
+  }
+
   test("document text never shuffles: the cut is a per-row HOF over the doc's own scan") {
     val docs = Seq(1L -> "a\nb", 2L -> "a\nc").toDF("doc_id", "text")
     val qe = LineDedup.cutDuplicateLines(spark, docs).queryExecution
