@@ -1136,7 +1136,8 @@ object SparkEntry {
     // α = 1/2 rate: sqrt and division are IEEE correctly-rounded in
     // both engines, so the floor()ed permille rate is bit-identical
     "q_sample_temperature" ->
-      """WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+      """WITH c AS (SELECT lang, count(*) AS n_s FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY lang),
         |m AS (SELECT min(n_s) AS n_min FROM c),
         |r AS (SELECT c.lang,
         |        CAST(floor(400.0 * sqrt(CAST(m.n_min AS DOUBLE) / CAST(c.n_s AS DOUBLE))) AS BIGINT) AS rate

@@ -98,8 +98,11 @@ object Clustering {
       .groupBy($"cluster_id")
       .agg(min(struct((-$"sc").as("neg"), $"conv_id")).as("best"))
       .select($"cluster_id", $"best.conv_id".as("representative"))
-    scored
-      .drop("representative", "is_representative", "sc")
+    // output join reads the RAW assigns, not `scored`: scores are not
+    // in the output, so routing the join through `scored` would execute
+    // the assigns⋈scores join twice (once under the agg, once here)
+    assigns.toDF
+      .drop("representative", "is_representative")
       .join(reps, Seq("cluster_id"))
       .select(
         $"conv_id", $"cluster_id", $"representative",

@@ -144,7 +144,16 @@ object ConnectedComponents {
     // symCoded materializes (its two joins read it), and the loop only
     // needs the label count for PARTITION SIZING — a ≤2× estimate from
     // the already-known symmetric edge count is plenty (nodes ≤ nEdges;
-    // ≈ nEdges/2 for the star-capped dup graphs upstream emits)
+    // ≈ nEdges/2 for the star-capped dup graphs upstream emits).
+    // Concurrency note: symCoded's TWO join branches can race on the
+    // cold dict cache under AQE, but the exposure is bounded — dict's
+    // heavy upstream ends in shuffles, and the DAG scheduler shares
+    // shuffle-map stages across concurrently submitted jobs, so only
+    // dict's post-shuffle narrow tail (the per-partition id zip) can
+    // compute twice on partitions whose first-writer task lands on a
+    // different executor. Measured cheaper than re-adding the eager
+    // count (one full driver round-trip per CC call in cluster mode —
+    // the exact fixed cost this path exists to cut).
     val nLabelsEst = if (nEdges == 0) 0L else math.max(nEdges / 2, 1L)
     lap("sym+dict")
     symCoded.count()

@@ -392,8 +392,14 @@ object IvfIndex {
     * a greedy commit-to-one-super assignment would put it in a cell
     * its own rank-0 probe never visits. Cost: leaves of the 2 nearest
     * super-cells, still ≪ nCells. */
-  private def nearestCellHier(v: Array[Double], m: HierCentroids): Long =
-    nearestCellsHier(v, m, 1)(0)
+  private def nearestCellHier(v: Array[Double], m: HierCentroids): Long = {
+    val c = nearestCellsHier(v, m, 1)
+    // a NaN embedding makes every distance comparison false, so no
+    // candidate survives — degrade to cell 0 like the flat nearestCell
+    // (probeKeysHier emits no keys for it, so it is never a candidate)
+    // instead of crashing the assignment job on one bad row
+    if (c.isEmpty) 0L else c(0)
+  }
 
   /** `nProbe` nearest leaves drawn from the TWO nearest super-cells
     * (multi-probe across the super boundary — a vector sitting on a
@@ -501,7 +507,14 @@ object IvfIndex {
       seed: Long = 42L,
       cellCap: Int = 4096,
       superCells: Int = 256): DataFrame = {
-    val cells = math.max(autoCells(corpus, nCells), superCells)
+    // NO 2^16 clamp here (unlike the flat autoCells): the flat cap
+    // exists because that fit is driver-resident; the hierarchical fit
+    // runs on executors, so the auto size follows √N all the way up —
+    // the whole point of this path
+    val cells = math.max(
+      if (nCells > 0) nCells
+      else math.max(16, math.ceil(math.sqrt(corpus.count().toDouble)).toInt),
+      superCells)
     val model = fitCentroidsHier(spark, corpus, cells, seed, superCells)
     val keys = probeKeysHier(spark, corpus, model, nProbe)
     val cands = ivfCandidates(spark, keys, cellCap, None)

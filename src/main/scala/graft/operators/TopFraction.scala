@@ -33,6 +33,16 @@ object TopFraction {
       keepPermille: Int): DataFrame = {
     require(keepPermille >= 1 && keepPermille <= 1000,
       "keepPermille must be in [1, 1000]")
+    // fail fast on a non-integral score (the Packing.pack contract):
+    // the histogram casts to long but the final predicate compares the
+    // RAW column, so a double score would silently truncate the cut
+    // and can undershoot the documented never-undershoot guarantee
+    locally {
+      import org.apache.spark.sql.types._
+      val dt = df.schema(scoreCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"topFraction: score column '$scoreCol' must be integral fixed-point, got $dt")
+    }
     val sc = col(scoreCol)
     // driver-sized histogram: (distinct score, count) — ONE pass.
     // NULL scores are excluded up front: they can never satisfy the
