@@ -373,6 +373,24 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("hier assignment degrades a NaN embedding to cell 0 instead of killing the job") {
+    import spark.implicits._
+    val base = spark.range(2000).select($"id".as("vec_id"),
+      array((0 until 4).map(d =>
+        (pmod(xxhash64($"id", lit(d)), lit(1000)).cast("float") / 500f - 1f)
+          .cast("float")): _*)
+        .as("embedding"))
+    val bad = Seq((9999999L, Seq(Float.NaN, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val model = IvfIndex.fitCentroidsHier(spark, base, nCells = 64,
+      seed = 42L, superCells = 8)
+    val assigned = IvfIndex.assignCellsHier(spark, base.unionByName(bad), model)
+    // the job completes, every row (incl. the NaN one) gets a cell,
+    // and the NaN row lands in the degrade cell 0
+    assert(assigned.count() == 2001)
+    assert(assigned.filter($"vec_id" === 9999999L)
+      .select($"cell").as[Long].head() == 0L)
+  }
+
   test("ANN recall audit: both indexes near-perfect on a noisy clustered corpus") {
     import spark.implicits._
     // 1% per-dim noise around 40 cluster centers: truth top-5 are
