@@ -64,6 +64,44 @@ object SparkEntry {
     t.unionByName(copies)
   }
 
+  /** Transcripts with PLANTED shared-PREFIX duplicates — makes the
+    * prefix-dedup queries non-vacuous (raw conversations rarely share
+    * multi-turn heads). Deterministic and SQL-expressible (lockstep
+    * with [[prefixPlantedSql]]): every conversation whose numeric id
+    * ≡ 7 (mod 10) gets a copy conv_id || 'p' whose first 5 turns are
+    * verbatim and whose later turns are replaced with unique text
+    * (divergent tail), ts shifted +1h so the original stays the first
+    * writer. A selected conversation with <= 5 turns yields an EXACT
+    * replay — exercising the full-conversation degenerate case. */
+  def prefixPlantedTranscriptsView(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val t = transcriptsView(spark, dir)
+    val copies = t
+      .filter(substring($"conv_id", 2, 18).cast("long") % 10 === 7)
+      .select(
+        concat($"conv_id", lit("p")).as("conv_id"),
+        $"turn_idx",
+        $"role",
+        when($"turn_idx" >= 5,
+          concat(lit("uniq:"), $"conv_id", lit("p:"), $"turn_idx".cast("string")))
+          .otherwise($"text").as("text"),
+        $"tool",
+        ($"ts" + expr("INTERVAL 1 HOUR")).as("ts"))
+    t.unionByName(copies)
+  }
+
+  /** DuckDB rendering of [[prefixPlantedTranscriptsView]]. */
+  private def prefixPlantedSql: String =
+    s"""SELECT * FROM ($transcriptsViewSql)
+       |UNION ALL
+       |SELECT conv_id || 'p' AS conv_id, turn_idx, role,
+       |  CASE WHEN turn_idx >= 5
+       |       THEN 'uniq:' || conv_id || 'p:' || CAST(turn_idx AS VARCHAR)
+       |       ELSE text END AS text,
+       |  tool, ts + INTERVAL 1 HOUR AS ts
+       |FROM ($transcriptsViewSql)
+       |WHERE CAST(substring(conv_id, 2) AS BIGINT) % 10 = 7""".stripMargin
+
   /** DuckDB-side rendering of the planted pair set: (orig, orig||'d')
     * for every selected conversation — the exact expected output of
     * each detector over [[plantedTranscriptsView]]. */
@@ -177,6 +215,48 @@ object SparkEntry {
     * strings, cut by index, and reassemble the text with chr(10) —
     * a full row-level compare of every output string. With
     * `boilerplate`, lines in >= 4 docs are cut from the owner too. */
+  /** Prefix-dedup oracle: recompute every conversation-prefix group
+    * from the normalized (role:text) STRINGS — the cumulative
+    * string_agg window is the exact-string equivalent of the engine's
+    * 128-bit rolling chain — elect first writers by (ts_min, conv_id),
+    * and either emit the per-conversation verdict (cut = false,
+    * q_prefix_dup) or replay the non-owner head cut row for row
+    * (cut = true, q_prefix_cut, minTurns = 2). */
+  private def prefixOracleSql(cut: Boolean): String = {
+    val base =
+      s"""WITH tt AS ($prefixPlantedSql),
+         |n AS (SELECT conv_id, turn_idx, ts,
+         |        trim(regexp_replace(lower(role || ':' || text), '\\s+', ' ', 'g')) AS key,
+         |        CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS INT) AS len
+         |      FROM tt),
+         |p AS (SELECT conv_id, turn_idx, len,
+         |        string_agg(key, chr(30)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pref
+         |      FROM n),
+         |c AS (SELECT conv_id, min(ts) AS ts_min FROM tt GROUP BY conv_id),
+         |g AS (SELECT pref, CAST(count(*) AS BIGINT) AS n_sharing
+         |      FROM p GROUP BY pref HAVING count(*) >= 2),
+         |own AS (SELECT pref, conv_id AS owner_conv_id FROM (
+         |          SELECT p2.pref, p2.conv_id,
+         |            row_number() OVER (PARTITION BY p2.pref ORDER BY c.ts_min, p2.conv_id) AS rn
+         |          FROM p p2 JOIN c ON p2.conv_id = c.conv_id) WHERE rn = 1),
+         |sh AS (SELECT p.conv_id, p.len, p.turn_idx, g.n_sharing, o.owner_conv_id
+         |       FROM p JOIN g USING (pref) JOIN own o USING (pref)),
+         |v AS (SELECT conv_id, CAST(max(len) AS INT) AS prefix_len,
+         |        arg_max(n_sharing, len) AS n_sharing,
+         |        arg_max(owner_conv_id, len) AS owner_conv_id,
+         |        arg_max(owner_conv_id, len) = conv_id AS is_owner,
+         |        CAST(coalesce(max(CASE WHEN owner_conv_id <> conv_id THEN len END), 0) AS INT) AS cut_len,
+         |        CAST(coalesce(max(CASE WHEN owner_conv_id <> conv_id THEN turn_idx END), -1) AS INT) AS cut_idx
+         |      FROM sh GROUP BY conv_id)""".stripMargin
+    if (!cut) base + "\nSELECT * FROM v"
+    else base + "\n" +
+      """SELECT tt.conv_id, tt.turn_idx, tt.role, tt.text
+        |FROM tt LEFT JOIN (SELECT conv_id, cut_idx FROM v WHERE cut_len >= 2) x
+        |  USING (conv_id)
+        |WHERE x.cut_idx IS NULL OR tt.turn_idx > x.cut_idx""".stripMargin
+  }
+
   private def lineDedupOracleSql(boilerplate: Boolean): String = {
     val cutCond =
       if (boilerplate) "own.n_docs >= 2 AND (k.doc_id <> own.owner OR own.n_docs >= 4)"
@@ -329,6 +409,21 @@ object SparkEntry {
       import s.implicits._
       val docs = DocAssembly.assemble(s, transcriptsView(s, dir)).toDF
       ExactDedup.docDupPairs(s, docs).select($"doc_a", $"doc_b", $"detector")
+    }),
+    // shared-conversation-prefix detection over the planted-prefix
+    // transcripts (system-prompt/few-shot duplication): per conv the
+    // longest head shared with anyone + its group size/first writer +
+    // the non-owner cut extent; DuckDB recomputes every prefix group
+    // from the normalized (role:text) STRINGS
+    "q_prefix_dup" -> ((s, dir) =>
+      PrefixDedup.sharedPrefixes(s, prefixPlantedTranscriptsView(s, dir))),
+    // prefix remediation: full row-level compare of the cut transcripts
+    // (first writer keeps its head, every later copy loses exactly the
+    // shared turns; an exact replay loses all its rows)
+    "q_prefix_cut" -> ((s, dir) => {
+      import s.implicits._
+      PrefixDedup.cutSharedPrefixes(s, prefixPlantedTranscriptsView(s, dir), minTurns = 2)
+        .select($"conv_id", $"turn_idx", $"role", $"text")
     }),
     // corpus duplication profile over the span-dup corpus (planted
     // copies give a real df>=2 tail); DuckDB recomputes every gram's
@@ -977,6 +1072,14 @@ object SparkEntry {
          |  CAST(count(CASE WHEN role IN ('user', 'assistant') THEN 1 END) AS INT) AS n_kept_turns,
          |  epoch_us(min(ts)) AS ts_min_us
          |FROM t GROUP BY conv_id""".stripMargin,
+    // prefix groups recomputed from the normalized (role:text)
+    // STRINGS: cumulative string_agg window = the engine's 128-bit
+    // rolling chain, row_number by (ts_min, conv_id) = the first-writer
+    // rule — pins hashed plan == exact-string semantics
+    "q_prefix_dup" -> prefixOracleSql(cut = false),
+    // remediation replay: drop each non-owner's head through its
+    // cut_idx (>= 2 shared turns), full row-level text compare
+    "q_prefix_cut" -> prefixOracleSql(cut = true),
     // duplication profile: per document-frequency bucket, how many
     // DISTINCT 13-grams occur in exactly that many docs — recomputed
     // from the gram strings

@@ -103,6 +103,30 @@ object GraftKernels {
   def sigJaccard(a: ArrayData, b: ArrayData): Double =
     Hashing.signatureJaccard(a.toLongArray(), b.toLongArray())
 
+  /** Ordered per-turn fingerprints → rolling 128-bit prefix keys: row i
+    * holds (len = i+1, idx = the input's turn_idx at i, pk1, pk2) where
+    * pk is the ordered combine-chain over the two turn-fp halves. Two
+    * conversations share an L-turn prefix iff their (pk1, pk2) at
+    * len = L match (chain collisions are 2^-128-grade per pair, the
+    * [[graft.operators.ExactDedup.fp]] width argument). The caller
+    * sorts the array (array_sort on a struct whose FIRST field is
+    * turn_idx) — this kernel only walks it. */
+  def prefixChain(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val rows = new Array[Any](n)
+    var pk1 = 0L
+    var pk2 = 0x9E3779B97F4A7C15L // golden-ratio start keeps the halves' chains distinct
+    var i = 0
+    while (i < n) {
+      val r = arr.getStruct(i, 3)
+      pk1 = Hashing.combine(pk1, r.getLong(1))
+      pk2 = Hashing.combine(pk2, r.getLong(2))
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(i + 1, r.getInt(0), pk1, pk2)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   def docFp(text: UTF8String): Long =
     Hashing.hashString(Hashing.normalize(text.toString))
 
@@ -338,6 +362,39 @@ case class GramFpsPosExpr(child: Expression, q: Int)
     copy(child = newChild)
 }
 
+/** array<struct<turn_idx:int, h1:bigint, h2:bigint>> (sorted by the
+  * caller) → array<struct<len:int, idx:int, pk1:bigint, pk2:bigint>>
+  * rolling 128-bit prefix keys — the conversation-prefix dedup kernel
+  * ([[graft.operators.PrefixDedup]]). Native so the per-conversation
+  * chain runs inside the aggregation projection with no encoder
+  * round-trip. */
+case class PrefixChainExpr(child: Expression) extends UnaryExpression {
+  private def inputOk: Boolean = child.dataType match {
+    case ArrayType(StructType(fs), _) =>
+      fs.length == 3 && fs(0).dataType == IntegerType &&
+        fs(1).dataType == LongType && fs(2).dataType == LongType
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (inputOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<int, bigint, bigint>>, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("len", IntegerType, nullable = false),
+      StructField("idx", IntegerType, nullable = false),
+      StructField("pk1", LongType, nullable = false),
+      StructField("pk2", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_prefix_chain"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.prefixChain(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftKernels.prefixChain($c)")
+  override protected def withNewChildInternal(newChild: Expression): PrefixChainExpr =
+    copy(child = newChild)
+}
+
 /** simhash Long → Hamming-ball candidate keys. */
 case class BallKeysExpr(child: Expression, blocks: Int)
     extends UnaryExpression {
@@ -443,6 +500,7 @@ object GraftFunctions {
       SubstrAnchors128Expr(cs.head, litInt(cs(1), "q"), litInt(cs(2), "sample"))),
     "graft_gram_fps_pos" -> (cs => GramFpsPosExpr(cs.head, litInt(cs(1), "q"))),
     "graft_ball_keys" -> (cs => BallKeysExpr(cs.head, litInt(cs(1), "blocks"))),
+    "graft_prefix_chain" -> (cs => PrefixChainExpr(cs.head)),
     "graft_sig_jaccard" -> (cs => SigJaccardExpr(cs.head, cs(1))),
     "graft_doc_fp" -> (cs =>
       if (cs.length >= 2) DocFpExpr(cs.head, litLong(cs(1), "seed"))

@@ -4,9 +4,13 @@ import graft.Bench
 
 /** Time ONE driver-contract query ([[graft.SparkEntry.queries]]) by
   * name over a testdata SF dir — the non-headline analog of
-  * [[QueryProbe]] (which profiles bench headline queries).
+  * [[QueryProbe]] (which profiles bench headline queries). A 4th
+  * `explain` arg prints the formatted physical plan before timing
+  * (the plan-audit loop: check codegen spans / partial aggs /
+  * exchange payloads after landing an operator).
   *
   *   sbt "runMain graft.tools.EntryProbe q_suffixarray_pairs /root/testdata/sf0.1 32"
+  *   sbt "runMain graft.tools.EntryProbe q_prefix_dup /root/testdata/sf0.01 8 explain"
   */
 object EntryProbe {
   def main(args: Array[String]): Unit = {
@@ -16,6 +20,7 @@ object EntryProbe {
     val spark = Bench.buildSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(qname)
+    if (args.length > 3 && args(3) == "explain") fn(spark, sfDir).explain("formatted")
     // warm pass (JIT + codegen), then a timed pass — same discipline as Bench
     fn(spark, sfDir).count()
     val t0 = System.nanoTime()
