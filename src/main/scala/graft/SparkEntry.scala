@@ -425,6 +425,12 @@ object SparkEntry {
       PrefixDedup.cutSharedPrefixes(s, prefixPlantedTranscriptsView(s, dir), minTurns = 2)
         .select($"conv_id", $"turn_idx", $"role", $"text")
     }),
+    // turn-template mining over the RAW transcripts (digit-masked
+    // parametric duplicates — naturally non-vacuous: the events corpus
+    // masks to a handful of hub templates); DuckDB recomputes every
+    // template string, its counts, and the first-writer representative
+    "q_template_mining" -> ((s, dir) =>
+      TemplateMining.mineTemplates(s, transcriptsView(s, dir))),
     // corpus duplication profile over the span-dup corpus (planted
     // copies give a real df>=2 tail); DuckDB recomputes every gram's
     // document frequency from the gram STRINGS
@@ -1072,6 +1078,26 @@ object SparkEntry {
          |  CAST(count(CASE WHEN role IN ('user', 'assistant') THEN 1 END) AS INT) AS n_kept_turns,
          |  epoch_us(min(ts)) AS ts_min_us
          |FROM t GROUP BY conv_id""".stripMargin,
+    // template groups recomputed from the digit-masked normalized
+    // STRINGS; representative = row_number() = 1 by (ts, conv_id,
+    // turn_idx) — the engine's min-struct election
+    "q_template_mining" ->
+      s"""WITH t AS ($transcriptsViewSql),
+         |m AS (SELECT conv_id, turn_idx, ts,
+         |        trim(regexp_replace(lower(regexp_replace(text, '[0-9]+', '0', 'g')),
+         |          '\\s+', ' ', 'g')) AS template
+         |      FROM t),
+         |r AS (SELECT template, conv_id, turn_idx,
+         |        row_number() OVER (PARTITION BY template
+         |          ORDER BY ts, conv_id, turn_idx) AS rn
+         |      FROM m)
+         |SELECT m.template,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences,
+         |  CAST(count(DISTINCT m.conv_id) AS BIGINT) AS n_convs,
+         |  min(r.conv_id) AS rep_conv_id,
+         |  CAST(min(r.turn_idx) AS INT) AS rep_turn_idx
+         |FROM m JOIN (SELECT * FROM r WHERE rn = 1) r USING (template)
+         |GROUP BY m.template HAVING count(*) >= 2""".stripMargin,
     // prefix groups recomputed from the normalized (role:text)
     // STRINGS: cumulative string_agg window = the engine's 128-bit
     // rolling chain, row_number by (ts_min, conv_id) = the first-writer
