@@ -25,11 +25,19 @@ object SparkEntry {
     * [[transcriptsViewSql]]). */
   def transcriptsView(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    // the window partitions by conv_id (a BIJECTION of user_id — same
+    // groups, same order, identical turn_idx) instead of user_id so the
+    // exchange it forces is hashpartitioning(conv_id): every downstream
+    // conv_id-keyed operator (doc assembly's groupBy, the prefix
+    // chains) then REUSES this exchange instead of re-shuffling the
+    // full turn text a second time (guide §2.4: operations keyed the
+    // same way share one exchange).
+    val w = Window.partitionBy($"conv_id").orderBy($"ts", $"event_id")
     readT(spark, dir, "events")
+      .withColumn("conv_id", concat(lit("c"), $"user_id".cast("string")))
       .withColumn("turn_idx", (row_number().over(w) - 1).cast("int"))
       .select(
-        concat(lit("c"), $"user_id".cast("string")).as("conv_id"),
+        $"conv_id",
         $"turn_idx",
         when($"event_type".isin("signup", "login", "search"), "user")
           .when($"event_type" === "error", "tool")

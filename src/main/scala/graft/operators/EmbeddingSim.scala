@@ -134,7 +134,23 @@ object EmbeddingSim {
       seed: Long = 42L,
       bucketCap: Int = 2048): DataFrame = {
     import spark.implicits._
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // key-volume-adaptive exchange width (the PairSweep sizing rule):
+    // the bucket exchange carries ~16 B × tables per vector, so a fixed
+    // session-width repartition schedules hundreds of near-empty tasks
+    // at small corpus sizes while the width still saturates to the
+    // session setting at scale (the estimate is clamped). Vector count
+    // is estimated from the corpus plan's sizeInBytes at ≥64 B/row — a
+    // float32 embedding of even 16 dims plus its id is wider, so the
+    // estimate only errs toward MORE partitions. The exchange must stay
+    // a pinned repartition: AQE coalescing would starve the candidate
+    // join below, and a skew split would break capSortedByKey's
+    // bucket-contiguity contract.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val corpusBytes = corpus.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val rowsEst = (corpusBytes / 64).min(BigInt(Long.MaxValue / 8)).toLong.max(1L)
+    val parts = math.max(1L, math.min(sessionParts.toLong,
+      (rowsEst * tables + PairSweep.KeysPerPartition - 1) / PairSweep.KeysPerPartition)).toInt
     val keys = bucketKeys(spark, corpus, bits, tables, seed)
       .repartition(parts, $"bucket")
     val capped = capSortedByKey(spark, keys, bucketCap)

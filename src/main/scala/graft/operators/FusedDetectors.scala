@@ -54,24 +54,34 @@ object FusedDetectors {
     * is_new for the incremental path). Tags in k3 keep the detectors'
     * bucket spaces disjoint inside one exchange; when the frame carries
     * an `anchors` column (the [[signatures3]] shape) the substring
-    * detector's 128-bit keys join the same stream as (hi, lo, tag). */
+    * detector's 128-bit keys join the same stream as (hi, lo, tag).
+    *
+    * ONE scan of the signature frame: every detector's keys are built
+    * as per-row struct arrays, concatenated and exploded by a single
+    * generator. The previous shape — a 2-/3-way unionAll of one
+    * projection per detector — read the (cached, corpus-sized)
+    * signature table once PER DETECTOR: 3× the cache scan volume and 3×
+    * the map tasks feeding the sweep exchange, each paying its own
+    * shuffle-file create/commit (measured as the sweep's dominant cost
+    * at sf0.1, and a 3×-scan tax at any scale). Same row multiset —
+    * the sweep's exchange+sort makes downstream order-insensitive. */
   private[operators] def taggedKeys(sigs: DataFrame, cfg: DedupConfig,
       carry: Seq[String]): DataFrame = {
     val cc = carry.map(col).toList
-    val mh = sigs.select(
-      explode(call_function("graft_band_hashes", col("sig"),
-        lit(cfg.bands), lit(cfg.rowsPerBand))).as("k1") ::
-        lit(0L).as("k2") :: lit(MinHashTag).as("k3") :: cc: _*)
-    val sh = sigs.select(
-      explode(call_function("graft_ball_keys", col("simhash"),
-        lit(cfg.simhashBlocks))).as("k1") ::
-        lit(0L).as("k2") :: lit(SimHashTag).as("k3") :: cc: _*)
-    val base = mh.unionAll(sh)
-    if (!sigs.columns.contains("anchors")) base
-    else base.unionAll(sigs.select(
-      explode(col("anchors")).as("a") :: cc: _*)
-      .select(col("a.hi").as("k1") :: col("a.lo").as("k2") ::
-        lit(SubstrTag).as("k3") :: cc: _*))
+    def tag(k1: org.apache.spark.sql.Column, k2: org.apache.spark.sql.Column, k3: Long) =
+      struct(k1.as("k1"), k2.as("k2"), lit(k3).as("k3"))
+    val mhArr = transform(
+      call_function("graft_band_hashes", col("sig"), lit(cfg.bands), lit(cfg.rowsPerBand)),
+      k => tag(k, lit(0L), MinHashTag))
+    val shArr = transform(
+      call_function("graft_ball_keys", col("simhash"), lit(cfg.simhashBlocks)),
+      k => tag(k, lit(0L), SimHashTag))
+    val all =
+      if (!sigs.columns.contains("anchors")) concat(mhArr, shArr)
+      else concat(mhArr, shArr,
+        transform(col("anchors"), a => tag(a.getField("hi"), a.getField("lo"), SubstrTag)))
+    sigs.select(explode(all).as("k") :: cc: _*)
+      .select(col("k.k1").as("k1") :: col("k.k2").as("k2") :: col("k.k3").as("k3") :: cc: _*)
   }
 
   /** Per-detector verification of a tagged candidate set against the
@@ -86,24 +96,32 @@ object FusedDetectors {
     // filter to the near-dup tags BEFORE the signature joins: substring
     // candidates would otherwise ride two corpus-sized joins only to be
     // dropped by the per-detector tag filters
+    // ONE streaming pass over the candidate set: per-detector predicate
+    // and score selected by the k3 tag inside a single projection,
+    // instead of one filter+join branch per detector (which executed
+    // the shared join subtree once per branch — the broadcasts were
+    // reused but the probe-side stream over the candidates ran twice).
+    // Expressions are kept IDENTICAL per tag (same jaccard call, same
+    // 1 - hd/64 arithmetic), so the row multiset matches the old
+    // two-branch union exactly.
     val withSigs = cands
       .filter(col("k3") === MinHashTag || col("k3") === SimHashTag)
       .join(sigs.select(col("conv_id").as("doc_a"),
         col("sig").as("sig_a"), col("simhash").as("sh_a")), Seq("doc_a"))
       .join(sigs.select(col("conv_id").as("doc_b"),
         col("sig").as("sig_b"), col("simhash").as("sh_b")), Seq("doc_b"))
-    val mh = withSigs
-      .filter(col("k3") === MinHashTag)
-      .withColumn("score", call_function("graft_sig_jaccard", col("sig_a"), col("sig_b")))
-      .filter(col("score") >= lit(cfg.jaccardThreshold - slack))
-      .select(col("doc_a"), col("doc_b"), lit("minhash").as("detector"), col("score"))
-    val sh = withSigs
-      .filter(col("k3") === SimHashTag)
+    val isMh = col("k3") === MinHashTag
+    withSigs
+      .withColumn("score",
+        when(isMh, call_function("graft_sig_jaccard", col("sig_a"), col("sig_b"))))
       .withColumn("hd", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hd") <= lit(cfg.hammingRadius))
-      .select(col("doc_a"), col("doc_b"), lit("simhash").as("detector"),
-        (lit(1.0) - col("hd").cast("double") / lit(64.0)).as("score"))
-    mh.unionAll(sh)
+      .filter(
+        when(isMh, col("score") >= lit(cfg.jaccardThreshold - slack))
+          .otherwise(col("hd") <= lit(cfg.hammingRadius)))
+      .select(col("doc_a"), col("doc_b"),
+        when(isMh, lit("minhash")).otherwise(lit("simhash")).as("detector"),
+        when(isMh, col("score"))
+          .otherwise(lit(1.0) - col("hd").cast("double") / lit(64.0)).as("score"))
   }
 
   /** (conv_id, sig: array<bigint>, simhash: bigint) — one tokenization
@@ -160,7 +178,16 @@ object FusedDetectors {
     val sigs0 =
       (if (withSubstring) signatures3(spark, docs, cfg)
        else signatures(spark, docs, cfg)).cache()
-    sigs0.count()
+    // the materializing job doubles as the key-volume measurement for
+    // the sweep's exchange width: minhash contributes `bands` keys/doc,
+    // simhash `blocks × 17` (each 16-bit block + its 16 one-bit flips),
+    // substring `size(anchors)` — exact, not an estimate, for one extra
+    // aggregated column over the same cache-filling scan
+    val keyRow = sigs0
+      .agg(count(lit(1)),
+        if (withSubstring) coalesce(sum(size(col("anchors"))), lit(0L)) else lit(0L))
+      .head()
+    val nKeys = keyRow.getLong(0) * (cfg.bands + cfg.simhashBlocks * 17L) + keyRow.getLong(1)
     // plan boundary over the materialized cache: the consumer branches
     // below embed `sigs`' logical tree, and AQE's concurrent leaf
     // materialization can plan a branch against the not-yet-registered
@@ -178,7 +205,8 @@ object FusedDetectors {
     // (doc_a, doc_b, detector): dedup on k3 — for substring that also
     // collapses the per-shared-anchor multiplicity (k2 = anchor lo)
     // exactly like the standalone detector's dropDuplicates.
-    val cands = PairSweep.pairs(spark, taggedKeys(sigs, cfg, Seq("conv_id")), cfg.bucketCap)
+    val cands = PairSweep.pairs(spark, taggedKeys(sigs, cfg, Seq("conv_id")), cfg.bucketCap,
+      keysEstimate = nKeys)
       .dropDuplicates("doc_a", "doc_b", "k3")
       .cache()
     cands.count()

@@ -70,10 +70,11 @@ object MinHashLSH {
     * overflow the cap switch to streaming STAR edges around the
     * deterministic hub (the sorted-first member) — linear in bucket
     * size, so a mega-template bucket cannot go quadratic. */
-  def candidatePairs(spark: SparkSession, keys: Dataset[BandKey], cfg: DedupConfig): DataFrame =
+  def candidatePairs(spark: SparkSession, keys: Dataset[BandKey], cfg: DedupConfig,
+      keysEstimate: Long = -1L): DataFrame =
     PairSweep.pairs(spark,
       keys.toDF.select(col("band_key").as("k1"), lit(0L).as("k2"), lit(0L).as("k3"), col("conv_id")),
-      cfg.bucketCap)
+      cfg.bucketCap, keysEstimate)
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
 
@@ -108,8 +109,11 @@ object MinHashLSH {
     * (see FusedDetectors.dupPairs). */
   def dupPairs(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): Dataset[DupPair] = {
     val sigs = signatures(spark, docs, cfg).cache()
-    sigs.count()
-    val cands = candidatePairs(spark, bandKeys(spark, sigs, cfg), cfg)
+    // the cache-filling count doubles as the sweep's exchange sizing:
+    // exactly `bands` band keys per doc
+    val n = sigs.count()
+    val cands = candidatePairs(spark, bandKeys(spark, sigs, cfg), cfg,
+      keysEstimate = n * cfg.bands)
     verifiedPairs(spark, cands, sigs, cfg)
   }
 }

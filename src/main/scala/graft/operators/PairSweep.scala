@@ -38,8 +38,31 @@ object PairSweep {
     * overflow. ONE implementation of the streaming bucket scan keeps
     * the two paths' cap/hub/ordering guarantees identical by
     * construction (FusedSpec asserts the batch path's row identity). */
-  def pairs(spark: SparkSession, keyed: DataFrame, cap: Int): DataFrame =
-    pairsIncremental(spark, keyed.withColumn("is_new", lit(true)), cap)
+  def pairs(spark: SparkSession, keyed: DataFrame, cap: Int,
+      keysEstimate: Long = -1L): DataFrame =
+    pairsIncremental(spark, keyed.withColumn("is_new", lit(true)), cap, keysEstimate)
+
+  /** Key-volume-adaptive exchange width: ~[[KeysPerPartition]] key rows
+    * per partition, capped at the session shuffle width — the same
+    * sizing rule as [[ConnectedComponents]]' dictionary. The sweep's
+    * exchange is PINNED (a plain repartition — AQE must not coalesce it
+    * below the pair-generation parallelism, and must never skew-SPLIT
+    * it: the streaming pass requires every bucket wholly inside one
+    * partition), so the width has to be right at plan time. A fixed
+    * session-width exchange is wrong at both ends: at bench scale it
+    * schedules hundreds of near-empty tasks (each paying shuffle-file
+    * create/commit syscalls — measured as the dominant cost of the
+    * sweep at sf0.1), and at corpus scale the estimate exceeds the cap
+    * so the width stays the session setting. Callers that cannot
+    * estimate their key volume pass a negative estimate and keep the
+    * session width. */
+  private[operators] val KeysPerPartition = 32768L
+  private[operators] def sweepParts(spark: SparkSession, keysEstimate: Long): Int = {
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    if (keysEstimate <= 0) sessionParts
+    else math.max(1L, math.min(sessionParts.toLong,
+      (keysEstimate + KeysPerPartition - 1) / KeysPerPartition)).toInt
+  }
 
   final case class KeyedRowN(k1: Long, k2: Long, k3: Long, conv_id: String, is_new: Boolean)
 
@@ -68,9 +91,10 @@ object PairSweep {
     * strictly higher recall at equal precision.
     *
     * Same exchange/ordering/cap/hub guarantees as [[pairs]]. */
-  def pairsIncremental(spark: SparkSession, keyed: DataFrame, cap: Int): DataFrame = {
+  def pairsIncremental(spark: SparkSession, keyed: DataFrame, cap: Int,
+      keysEstimate: Long = -1L): DataFrame = {
     import spark.implicits._
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = sweepParts(spark, keysEstimate)
     keyed
       .repartition(parts, col("k1"), col("k2"), col("k3"))
       .sortWithinPartitions(col("k1"), col("k2"), col("k3"), col("conv_id"))

@@ -47,12 +47,15 @@ object SimHashDetector {
     // join sides; a lazy cache is recomputed per concurrent AQE branch
     // (see FusedDetectors.dupPairs)
     val sigs = signatures(spark, docs, cfg).cache()
-    sigs.count()
+    // cache-filling count doubles as sweep sizing: 17 ball keys per
+    // 16-bit block (the block itself + its 16 one-bit flips)
+    val n = sigs.count()
     val keys = sigs.toDF.select(
       explode(call_function("graft_ball_keys", $"simhash", lit(cfg.simhashBlocks))).as("band_key"),
       $"conv_id")
       .as[MinHashLSH.BandKey]
-    val cands = MinHashLSH.candidatePairs(spark, keys, cfg)
+    val cands = MinHashLSH.candidatePairs(spark, keys, cfg,
+      keysEstimate = n * cfg.simhashBlocks * 17L)
     val sigDf = sigs.toDF("conv_id", "simhash")
     cands
       .join(sigDf.withColumnRenamed("conv_id", "doc_a").withColumnRenamed("simhash", "sh_a"), Seq("doc_a"))
