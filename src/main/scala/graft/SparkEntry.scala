@@ -937,12 +937,17 @@ object SparkEntry {
     }),
     "q_window_latest_order" -> ((s, dir) => {
       import s.implicits._
-      val w = Window.partitionBy($"o_custkey")
-        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      // top-1-per-group as max(struct(o_orderdate, o_orderkey)): the
+      // lexicographic struct max IS the first row of the rn=1 window
+      // (both sort keys descending, no nulls in either column), but it
+      // partial-aggregates map-side — the exchange carries one row per
+      // customer instead of every order, and there is no window sort
+      // (guide §2.3 "aggregate before you shuffle"). Oracle unchanged;
+      // result row-identical.
       readT(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"o_custkey", $"o_orderkey".as("latest_orderkey"))
+        .groupBy($"o_custkey")
+        .agg(max(struct($"o_orderdate", $"o_orderkey")).as("m"))
+        .select($"o_custkey", $"m.o_orderkey".as("latest_orderkey"))
     }),
     "q_anti_customers_no_orders" -> ((s, dir) => {
       import s.implicits._

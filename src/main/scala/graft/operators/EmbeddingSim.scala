@@ -83,12 +83,14 @@ object EmbeddingSim {
   def rhpBits(vec: Seq[Float], bits: Int, seed: Long): Long =
     signBits(vec, rhpPlanes(vec.length, bits, seed))
 
-  /** (bucket, vec_id) keys for `tables` independent b-bit sketches —
-    * a narrow mapPartitions; plane matrices built once per (partition,
-    * dimension): keying by the vector's length keeps mixed-dimension
-    * inputs correct (a shorter vector must not index past its planes,
-    * a longer one must not be silently truncated to the first row's
-    * width). */
+  /** (bucket, vec_id) keys for `tables` independent b-bit sketches — a
+    * narrow codegen'd projection through
+    * [[graft.plans.RhpBucketsExpr]]: no typed-encoder round-trip per
+    * vector, plane matrices cached per executor JVM (keyed by the
+    * vector's dimension, so mixed-dimension inputs stay correct — a
+    * shorter vector must not index past its planes, a longer one must
+    * not be silently truncated). Bit-identical to the previous
+    * mapPartitions kernel. */
   def bucketKeys(
       spark: SparkSession,
       corpus: DataFrame,
@@ -96,18 +98,11 @@ object EmbeddingSim {
       tables: Int,
       seed: Long): DataFrame = {
     import spark.implicits._
-    corpus.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
-      .mapPartitions { it =>
-        val planesByDim =
-          scala.collection.mutable.HashMap.empty[Int, Array[Array[Array[Double]]]]
-        it.flatMap { case (id, v) =>
-          val planes = planesByDim.getOrElseUpdate(v.length,
-            Array.tabulate(tables)(t =>
-              rhpPlanes(v.length, bits, Hashing.mix64(seed * 31 + t))))
-          Iterator.tabulate(tables)(t =>
-            (Hashing.mix64(seed + t) ^ (signBits(v, planes(t)) | (t.toLong << 56)), id))
-        }
-      }.toDF("bucket", "vec_id")
+    graft.plans.GraftFunctions.register(spark)
+    corpus.select(
+      explode(call_function("graft_rhp_buckets", $"embedding",
+        lit(bits), lit(tables), lit(seed))).as("bucket"),
+      $"vec_id")
   }
 
   /** Bucketed ANN top-k: `tables` independent b-bit sketches; vectors

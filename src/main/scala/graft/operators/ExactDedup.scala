@@ -61,29 +61,30 @@ object ExactDedup {
       spark: SparkSession, transcripts: DataFrame, fpCol: Column): DataFrame = {
     import spark.implicits._
     val withFp = transcripts.withColumn("fp", fpCol)
-    // min_by over struct gives the first occurrence per fingerprint in
-    // ONE shuffle with partial (map-side) aggregation — no window sort.
-    val canonical = withFp
-      .groupBy($"fp")
-      .agg(
-        min(struct($"ts", $"conv_id", $"turn_idx"))
-          .as("first_occ"),
-        count(lit(1)).as("n_refs"))
-      .select(
-        $"fp",
-        $"first_occ.conv_id".as("rep_conv_id"),
-        $"first_occ.turn_idx".as("rep_turn_idx"),
-        $"n_refs")
+    // First occurrence and reference count as WINDOW aggregates over the
+    // fp partition: ONE exchange of the turn rows, then both values are
+    // computed in a single WindowExec pass (shared window spec). The
+    // previous groupBy(fp) + join-back shape paid the canonical
+    // aggregation exchange PLUS a join that re-shuffles (or broadcasts)
+    // against the full turn table — and because every output row keeps
+    // its turn identity anyway, the join carried the whole input a
+    // second time. At design scale the canonical table is ~#distinct
+    // fingerprints (not broadcastable), so this is strictly one wide
+    // exchange instead of two plus a sort-merge join; callers that only
+    // need (conv_id, turn_idx, fp) — Restore's lineage — let column
+    // pruning drop the Window node entirely.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
     withFp
       .select($"conv_id", $"turn_idx", $"ts", $"fp")
-      .join(canonical, Seq("fp"))
+      .withColumn("first_occ", min(struct($"ts", $"conv_id", $"turn_idx")).over(w))
+      .withColumn("n_refs", count(lit(1)).over(w))
       .select(
         $"conv_id",
         $"turn_idx",
         $"fp",
-        $"rep_conv_id",
-        $"rep_turn_idx",
-        ($"conv_id" === $"rep_conv_id" && $"turn_idx" === $"rep_turn_idx")
+        $"first_occ.conv_id".as("rep_conv_id"),
+        $"first_occ.turn_idx".as("rep_turn_idx"),
+        ($"conv_id" === $"first_occ.conv_id" && $"turn_idx" === $"first_occ.turn_idx")
           .as("is_unique"),
         $"n_refs")
   }

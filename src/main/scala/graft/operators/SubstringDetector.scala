@@ -57,16 +57,26 @@ object SubstringDetector {
     * [[PairSweep]] with (k1, k2) = the two anchor halves (same
     * guarantees — sorted groups make the hub the global bucket min,
     * overflow buckets stream star edges, retries byte-deterministic). */
-  def candidatePairs(spark: SparkSession, keys: Dataset[AnchorKey], cfg: DedupConfig): DataFrame =
+  def candidatePairs(spark: SparkSession, keys: Dataset[AnchorKey], cfg: DedupConfig,
+      keysEstimate: Long = -1L): DataFrame =
     PairSweep.pairs(spark,
       keys.toDF.select(col("k_hi").as("k1"), col("k_lo").as("k2"), lit(0L).as("k3"), col("conv_id")),
-      cfg.bucketCap)
+      cfg.bucketCap, keysEstimate)
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
 
   def dupPairs(spark: SparkSession, docs: Dataset[Doc], cfg: DedupConfig): Dataset[DupPair] = {
     import spark.implicits._
-    candidatePairs(spark, anchorKeys(spark, docs, cfg), cfg)
+    // sweep-exchange sizing without an extra count job: winnowing keeps
+    // ~1 anchor per substrSample tokens and a token is ~6 text bytes,
+    // so anchors ≈ plan-stats bytes / (6 × sample). The estimate only
+    // sizes partitions (clamped to [1, session width]); being a few ×
+    // off shifts partition fill, never correctness.
+    val textBytes = docs.toDF
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = (textBytes / (6L * cfg.substrSample)).min(BigInt(Long.MaxValue / 8)).toLong.max(1L)
+    candidatePairs(spark, anchorKeys(spark, docs, cfg), cfg, keysEstimate = est)
       // constant columns via select+lit stays inside codegen — a typed
       // .map here would pay a full encoder round-trip per pair
       .select($"doc_a", $"doc_b",

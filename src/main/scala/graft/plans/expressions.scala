@@ -100,6 +100,57 @@ object GraftKernels {
   def ballKeys(h: Long, blocks: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(Hashing.simhashBallKeys(h, blocks))
 
+  /** Executor-wide cache of RHP plane matrices, keyed by
+    * (dim, bits, tables, seed): planes are a pure function of the key
+    * (no stored model), so sharing across tasks is safe; the access-
+    * order LRU bounds memory if a session probes many configurations
+    * (each entry is tables × bits × dim doubles). */
+  private val planeCacheMax = 8
+  private val planeCache =
+    new java.util.LinkedHashMap[(Int, Int, Int, Long), Array[Array[Array[Double]]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Int, Int, Long), Array[Array[Array[Double]]]]): Boolean =
+        size() > planeCacheMax
+    }
+  private def planesFor(dim: Int, bits: Int, tables: Int, seed: Long): Array[Array[Array[Double]]] =
+    planeCache.synchronized {
+      val key = (dim, bits, tables, seed)
+      val hit = planeCache.get(key)
+      if (hit != null) hit
+      else {
+        val built = Array.tabulate(tables)(t =>
+          graft.operators.EmbeddingSim.rhpPlanes(dim, bits, Hashing.mix64(seed * 31 + t)))
+        planeCache.put(key, built)
+        built
+      }
+    }
+
+  /** array<float> embedding → `tables` RHP bucket keys — bit-identical
+    * to [[graft.operators.EmbeddingSim.bucketKeys]]'s per-row math
+    * (float operands promote to double in the dot product either way). */
+  def rhpBuckets(v: ArrayData, bits: Int, tables: Int, seed: Long): ArrayData = {
+    val dim = v.numElements()
+    val planes = planesFor(dim, bits, tables, seed)
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      val pl = planes(t)
+      var sig = 0L
+      var p = 0
+      while (p < bits) {
+        val row = pl(p)
+        var dot = 0.0
+        var d = 0
+        while (d < dim) { dot += v.getFloat(d) * row(d); d += 1 }
+        if (dot >= 0) sig |= 1L << p
+        p += 1
+      }
+      out(t) = Hashing.mix64(seed + t) ^ (sig | (t.toLong << 56))
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   def sigJaccard(a: ArrayData, b: ArrayData): Double =
     Hashing.signatureJaccard(a.toLongArray(), b.toLongArray())
 
@@ -395,6 +446,30 @@ case class PrefixChainExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** array<float> embedding → `tables` RHP sign-sketch bucket keys
+  * (array<bigint>) — the [[graft.operators.EmbeddingSim]] bucket kernel
+  * as a native expression: the bucket pass stays inside whole-stage
+  * codegen instead of paying the typed-Dataset encoder round-trip
+  * (InternalRow → (Long, Seq[Float]) → InternalRow) per vector, and the
+  * plane matrices are built once per executor via the
+  * [[GraftKernels.rhpBuckets]] cache instead of once per task. */
+case class RhpBucketsExpr(child: Expression, bits: Int, tables: Int, seed: Long)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rhp_buckets"
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.rhpBuckets(input.asInstanceOf[ArrayData], bits, tables, seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.plans.GraftKernels.rhpBuckets($c, $bits, $tables, ${seed}L)")
+  override protected def withNewChildInternal(newChild: Expression): RhpBucketsExpr =
+    copy(child = newChild)
+}
+
 /** simhash Long → Hamming-ball candidate keys. */
 case class BallKeysExpr(child: Expression, blocks: Int)
     extends UnaryExpression {
@@ -500,6 +575,9 @@ object GraftFunctions {
       SubstrAnchors128Expr(cs.head, litInt(cs(1), "q"), litInt(cs(2), "sample"))),
     "graft_gram_fps_pos" -> (cs => GramFpsPosExpr(cs.head, litInt(cs(1), "q"))),
     "graft_ball_keys" -> (cs => BallKeysExpr(cs.head, litInt(cs(1), "blocks"))),
+    "graft_rhp_buckets" -> (cs =>
+      RhpBucketsExpr(cs.head, litInt(cs(1), "bits"), litInt(cs(2), "tables"),
+        litLong(cs(3), "seed"))),
     "graft_prefix_chain" -> (cs => PrefixChainExpr(cs.head)),
     "graft_sig_jaccard" -> (cs => SigJaccardExpr(cs.head, cs(1))),
     "graft_doc_fp" -> (cs =>
