@@ -43,19 +43,19 @@ object Clustering {
       .join(comps, Seq("conv_id"), "left")
       .withColumn("cluster_id", coalesce($"cluster_id", $"conv_id"))
 
-    // first-occurrence representative per cluster: min (ts_min, conv_id)
-    val reps = assigned
-      .groupBy($"cluster_id")
-      .agg(min(struct($"ts_min", $"conv_id")).as("first_occ"))
-      .select($"cluster_id", $"first_occ.conv_id".as("representative"))
-
+    // first-occurrence representative per cluster — min (ts_min,
+    // conv_id) — as a window aggregate over the cluster partition: one
+    // exchange of the assignment rows instead of groupBy + join-back
+    // (the reps table is ~#clusters at design scale, not broadcastable,
+    // so the join was a second full shuffle of the same rows)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
     assigned
-      .join(reps, Seq("cluster_id"))
+      .withColumn("first_occ", min(struct($"ts_min", $"conv_id")).over(w))
       .select(
         $"conv_id",
         $"cluster_id",
-        $"representative",
-        ($"conv_id" === $"representative").as("is_representative"))
+        $"first_occ.conv_id".as("representative"),
+        ($"conv_id" === $"first_occ.conv_id").as("is_representative"))
       .as[ClusterAssign]
   }
 
@@ -93,20 +93,15 @@ object Clustering {
       .join(scores.select($"conv_id", col(scoreCol).cast("long").as("sc")), Seq("conv_id"), "left")
       .withColumn("sc", greatest(coalesce($"sc", lit(Long.MinValue + 1)), lit(Long.MinValue + 1)))
     // min(struct(-score, conv_id)): highest score first, then smallest
-    // conv_id — a single partial-aggregated exchange
-    val reps = scored
-      .groupBy($"cluster_id")
-      .agg(min(struct((-$"sc").as("neg"), $"conv_id")).as("best"))
-      .select($"cluster_id", $"best.conv_id".as("representative"))
-    // output join reads the RAW assigns, not `scored`: scores are not
-    // in the output, so routing the join through `scored` would execute
-    // the assigns⋈scores join twice (once under the agg, once here)
-    assigns.toDF
-      .drop("representative", "is_representative")
-      .join(reps, Seq("cluster_id"))
+    // conv_id — as a window aggregate over the cluster partition (the
+    // labelAndRepresent shape): one exchange of the scored assignment
+    // rows instead of a groupBy + join-back against them
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+    scored
+      .withColumn("best", min(struct((-$"sc").as("neg"), $"conv_id")).over(w))
       .select(
-        $"conv_id", $"cluster_id", $"representative",
-        ($"conv_id" === $"representative").as("is_representative"))
+        $"conv_id", $"cluster_id", $"best.conv_id".as("representative"),
+        ($"conv_id" === $"best.conv_id").as("is_representative"))
       .as[ClusterAssign]
   }
 }

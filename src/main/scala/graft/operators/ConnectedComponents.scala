@@ -196,15 +196,15 @@ object ConnectedComponents {
       }
 
     // ---- phase 3 (session settings): decode + restore the
-    // "cluster_id = lexicographic min member" contract ----
-    val named = coded
+    // "cluster_id = lexicographic min member" contract. The min member
+    // name is a window aggregate over the comp partition — one exchange
+    // of the (conv_id, comp) rows instead of a groupBy + join-back
+    // (which re-shuffled the same rows into a second join at scale) ----
+    val wComp = org.apache.spark.sql.expressions.Window.partitionBy($"comp")
+    val out = coded
       .join(dictB, Seq("id"))
       .select($"conv_id", $"comp")
-    val repNames = named
-      .groupBy($"comp")
-      .agg(min($"conv_id").as("cluster_id"))
-    val out = named
-      .join(repNames, Seq("comp"))
+      .withColumn("cluster_id", min($"conv_id").over(wComp))
       .select($"conv_id", $"cluster_id")
       .localCheckpoint(true)
     coded.unpersist(false)

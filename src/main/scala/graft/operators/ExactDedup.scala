@@ -108,16 +108,19 @@ object ExactDedup {
     * pathological all-identical corpus cannot go quadratic. */
   def docDupPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val withFp = docs.withColumn("fp", fp($"doc_text"))
-    val canon = withFp
-      .groupBy($"fp")
-      .agg(min(struct($"ts_min", $"conv_id")).as("first_occ"))
-      .select($"fp", $"first_occ.conv_id".as("doc_a"))
-    withFp
-      .join(canon, Seq("fp"))
-      .filter($"conv_id" =!= $"doc_a")
+    // canonical member as a window aggregate over the fp partition (the
+    // dedupTurnsBy shape): ONE narrow 24 B/doc projection — fp is
+    // computed BEFORE the exchange so doc_text never shuffles — then a
+    // single exchange+window instead of groupBy + join-back (which
+    // shuffled the id rows twice at scale, where the canonical table is
+    // not broadcastable).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"fp")
+    docs
+      .select($"conv_id", $"ts_min", fp($"doc_text").as("fp"))
+      .withColumn("first_occ", min(struct($"ts_min", $"conv_id")).over(w))
+      .filter($"conv_id" =!= $"first_occ.conv_id")
       .select(
-        $"doc_a",
+        $"first_occ.conv_id".as("doc_a"),
         $"conv_id".as("doc_b"),
         lit("exact").as("detector"),
         lit(1.0).as("score"))

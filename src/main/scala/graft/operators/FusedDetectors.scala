@@ -88,9 +88,12 @@ object FusedDetectors {
     * signature frame: signature Jaccard for minhash, Hamming radius
     * for simhash — THE verification both the batch and incremental
     * paths run, by construction the same. Substring candidates
-    * (k3 = SubstrTag, if present) are NOT verified here — their bucket
-    * match IS the decision ([[SubstringDetector]]); [[dupPairs]] passes
-    * them through directly. */
+    * (k3 = SubstrTag, if present) are NOT verified — their bucket match
+    * IS the decision ([[SubstringDetector]]) — but they RIDE the same
+    * pass (the sig attachments are inner joins on ids that exist in the
+    * signature table by construction, so they preserve every row) and
+    * exit tagged `substring`/1.0: the whole verified pair set is ONE
+    * linear pipeline over the candidates, no per-detector branch. */
   private[operators] def verifyPairs(cands: DataFrame, sigs: DataFrame,
       cfg: DedupConfig, slack: Double): DataFrame = {
     // filter to the near-dup tags BEFORE the signature joins: substring
@@ -103,25 +106,28 @@ object FusedDetectors {
     // reused but the probe-side stream over the candidates ran twice).
     // Expressions are kept IDENTICAL per tag (same jaccard call, same
     // 1 - hd/64 arithmetic), so the row multiset matches the old
-    // two-branch union exactly.
+    // per-branch union exactly.
     val withSigs = cands
-      .filter(col("k3") === MinHashTag || col("k3") === SimHashTag)
       .join(sigs.select(col("conv_id").as("doc_a"),
         col("sig").as("sig_a"), col("simhash").as("sh_a")), Seq("doc_a"))
       .join(sigs.select(col("conv_id").as("doc_b"),
         col("sig").as("sig_b"), col("simhash").as("sh_b")), Seq("doc_b"))
     val isMh = col("k3") === MinHashTag
+    val isSh = col("k3") === SimHashTag
     withSigs
       .withColumn("score",
         when(isMh, call_function("graft_sig_jaccard", col("sig_a"), col("sig_b"))))
       .withColumn("hd", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(
         when(isMh, col("score") >= lit(cfg.jaccardThreshold - slack))
-          .otherwise(col("hd") <= lit(cfg.hammingRadius)))
+          .when(isSh, col("hd") <= lit(cfg.hammingRadius))
+          .otherwise(lit(true)))
       .select(col("doc_a"), col("doc_b"),
-        when(isMh, lit("minhash")).otherwise(lit("simhash")).as("detector"),
+        when(isMh, lit("minhash")).when(isSh, lit("simhash"))
+          .otherwise(lit("substring")).as("detector"),
         when(isMh, col("score"))
-          .otherwise(lit(1.0) - col("hd").cast("double") / lit(64.0)).as("score"))
+          .when(isSh, lit(1.0) - col("hd").cast("double") / lit(64.0))
+          .otherwise(lit(1.0)).as("score"))
   }
 
   /** (conv_id, sig: array<bigint>, simhash: bigint) — one tokenization
@@ -196,43 +202,32 @@ object FusedDetectors {
     // recomputation becomes structurally impossible, not just unlikely.
     val sigs = org.apache.spark.sql.GraftPlanBridge.planBoundary(sigs0.toDF)
 
-    // tagged key stream: (k1, k2, k3 = detector tag). materialize the
-    // candidate set ONCE: every detector branch reads it, and an
-    // uncached sweep pipeline would execute per branch (the exchange is
-    // reused, but the sort + streaming pass above it run again for
-    // every consumer). Candidates are pairs — tiny next to the key
-    // stream — so the cache is cheap at any scale. Pair identity is
+    // tagged key stream: (k1, k2, k3 = detector tag). Pair identity is
     // (doc_a, doc_b, detector): dedup on k3 — for substring that also
     // collapses the per-shared-anchor multiplicity (k2 = anchor lo)
-    // exactly like the standalone detector's dropDuplicates.
+    // exactly like the standalone detector's dropDuplicates. The
+    // candidate set is NOT cached: since verification became one linear
+    // pass (substring candidates ride it too), the sweep has exactly
+    // ONE consumer, so the whole sweep → verify → checkpoint chain runs
+    // as a single job — two fewer driver round-trips than the old
+    // cache + count + per-branch-union shape, and no duplicate-compute
+    // exposure because the plan references the sweep exactly once.
     val cands = PairSweep.pairs(spark, taggedKeys(sigs, cfg, Seq("conv_id")), cfg.bucketCap,
       keysEstimate = nKeys)
       .dropDuplicates("doc_a", "doc_b", "k3")
-      .cache()
-    cands.count()
 
-    // verification joins read the one cached signature table; each
-    // detector filters to ITS candidate tag so fused recall/precision
-    // equals the standalone detectors' exactly. Substring candidates
-    // skip verification — a shared 128-bit anchor IS the decision
-    // (SubstringDetector's contract). The result (pairs — tiny) is
-    // materialized so the two corpus-sized caches above can be freed
+    // verification attaches the one cached signature table per side;
+    // per-detector predicates keep fused recall/precision equal to the
+    // standalone detectors' exactly. The result (pairs — tiny) is
+    // materialized so the corpus-sized signature cache can be freed
     // HERE instead of leaking for the session's lifetime (a bench run
     // invokes this per pass; a long-lived ingest session many times).
     // Checkpointed blocks are untracked by the cache manager — retire
     // the previous invocation's output (same contract as CC labels:
     // valid until the next dupPairs on the SAME session; persist/write
     // first to hold two results).
-    val verified = verifyPairs(cands, sigs, cfg, slack)
-    val all =
-      if (!withSubstring) verified
-      else verified.unionAll(cands
-        .filter(col("k3") === SubstrTag)
-        .select(col("doc_a"), col("doc_b"),
-          lit("substring").as("detector"), lit(1.0).as("score")))
-    val out = all.as[DupPair].localCheckpoint(true)
+    val out = verifyPairs(cands, sigs, cfg, slack).as[DupPair].localCheckpoint(true)
     sigs0.unpersist(false)
-    cands.unpersist(false)
     Retire.swap(spark, "fused_pairs", out.toDF)
     out
   }
