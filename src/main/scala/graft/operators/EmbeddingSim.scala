@@ -140,12 +140,7 @@ object EmbeddingSim {
     // a pinned repartition: AQE coalescing would starve the candidate
     // join below, and a skew split would break capSortedByKey's
     // bucket-contiguity contract.
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val corpusBytes = corpus.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-      .queryExecution.optimizedPlan.stats.sizeInBytes
-    val rowsEst = (corpusBytes / 64).min(BigInt(Long.MaxValue / 8)).toLong.max(1L)
-    val parts = math.max(1L, math.min(sessionParts.toLong,
-      (rowsEst * tables + PairSweep.KeysPerPartition - 1) / PairSweep.KeysPerPartition)).toInt
+    val parts = PairSweep.sweepParts(spark, rowsFromStats(corpus) * tables)
     val keys = bucketKeys(spark, corpus, bits, tables, seed)
       .repartition(parts, $"bucket")
     val capped = capSortedByKey(spark, keys, bucketCap)
@@ -156,6 +151,16 @@ object EmbeddingSim {
       .select($"a.vec_id".as("query_id"), $"b.vec_id".as("vec_id"))
       .distinct()
     rerankTopK(spark, corpus, cands, k)
+  }
+
+  /** Vector-count estimate from the corpus plan's sizeInBytes at
+    * ≥64 B/row: a float32 embedding of even 16 dims plus its id is
+    * wider, so this errs toward MORE partitions. Only ever sizes
+    * exchanges (clamped to [1, session width]) — never semantics. */
+  private[operators] def rowsFromStats(corpus: DataFrame): Long = {
+    val bytes = corpus.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    (bytes / 64).min(BigInt(Long.MaxValue / 8)).toLong.max(1L)
   }
 
   /** Per-bucket cap WITHOUT a window, for input ALREADY hash-partitioned

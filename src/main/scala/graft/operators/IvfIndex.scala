@@ -201,10 +201,17 @@ object IvfIndex {
     * ([[fitCentroidsHier]] / [[ivfTopKHier]]), whose leaf fits run
     * distributed and whose assignment costs S + nCells/S distance
     * evals per row instead of nCells. */
-  private def autoCells(corpus: DataFrame, nCells: Int): Int =
+  private def autoCells(nRows: Long, nCells: Int): Int =
     if (nCells > 0) nCells
     else math.min(65536,
-      math.max(16, math.ceil(math.sqrt(corpus.count().toDouble)).toInt))
+      math.max(16, math.ceil(math.sqrt(nRows.toDouble)).toInt))
+
+  /** Row count for cell auto-sizing AND the probe exchange width: exact
+    * (one count job, which autoCells always paid) when the cell count
+    * is auto-derived; the plan-stats estimate when cells are explicit
+    * (sizing the exchange never needs exactness). */
+  private def corpusRows(corpus: DataFrame, nCells: Int): Long =
+    if (nCells > 0) EmbeddingSim.rowsFromStats(corpus) else corpus.count()
 
   /** IVF ANN top-k: probe `nProbe` nearest cells per query (every
     * corpus vector is a query), candidates = capped cell members,
@@ -226,10 +233,11 @@ object IvfIndex {
       nProbe: Int = 2,
       seed: Long = 42L,
       cellCap: Int = 4096): DataFrame = {
-    val cells = autoCells(corpus, nCells)
+    val nRows = corpusRows(corpus, nCells)
+    val cells = autoCells(nRows, nCells)
     val cents = fitCentroids(spark, corpus, cells, seed,
       sampleN = math.max(4096, 8 * cells))
-    val keys = probeKeys(spark, corpus, cents, nProbe)
+    val keys = probeKeys(spark, corpus, cents, nProbe, nRows * nProbe)
     val cands = ivfCandidates(spark, keys, cellCap, None)
     EmbeddingSim.rerankTopK(spark, corpus, cands, k)
   }
@@ -268,10 +276,11 @@ object IvfIndex {
       spark: SparkSession,
       corpus: DataFrame,
       cents: Array[Array[Double]],
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      keysEstimate: Long = -1L): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = PairSweep.sweepParts(spark, keysEstimate)
     corpus.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
       .mapPartitions { rows =>
         val cs = bc.value
@@ -474,10 +483,11 @@ object IvfIndex {
       spark: SparkSession,
       corpus: DataFrame,
       model: HierCentroids,
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      keysEstimate: Long = -1L): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = PairSweep.sweepParts(spark, keysEstimate)
     corpus.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
       .mapPartitions { rows =>
         val m = bc.value
@@ -511,12 +521,13 @@ object IvfIndex {
     // exists because that fit is driver-resident; the hierarchical fit
     // runs on executors, so the auto size follows √N all the way up —
     // the whole point of this path
+    val nRows = corpusRows(corpus, nCells)
     val cells = math.max(
       if (nCells > 0) nCells
-      else math.max(16, math.ceil(math.sqrt(corpus.count().toDouble)).toInt),
+      else math.max(16, math.ceil(math.sqrt(nRows.toDouble)).toInt),
       superCells)
     val model = fitCentroidsHier(spark, corpus, cells, seed, superCells)
-    val keys = probeKeysHier(spark, corpus, model, nProbe)
+    val keys = probeKeysHier(spark, corpus, model, nProbe, nRows * nProbe)
     val cands = ivfCandidates(spark, keys, cellCap, None)
     EmbeddingSim.rerankTopK(spark, corpus, cands, k)
   }
@@ -546,10 +557,11 @@ object IvfIndex {
       seed: Long = 42L,
       cellCap: Int = 4096): DataFrame = {
     import spark.implicits._
-    val cells = autoCells(corpus, nCells)
+    val nRows = corpusRows(corpus, nCells)
+    val cells = autoCells(nRows, nCells)
     val cents = fitCentroids(spark, corpus, cells, seed,
       sampleN = math.max(4096, 8 * cells))
-    val keys = probeKeys(spark, corpus, cents, 1)
+    val keys = probeKeys(spark, corpus, cents, 1, nRows)
     val members = EmbeddingSim.capSortedByKey(spark,
       keys.select($"cell".as("bucket"), $"vec_id"), cellCap)
       .withColumnsRenamed(Map("bucket" -> "cell"))
@@ -694,7 +706,8 @@ object IvfIndex {
       rerank: Int = 64): DataFrame = {
     import spark.implicits._
     require(rerank >= k, "pqTopK: rerank must be >= k")
-    val cells = autoCells(corpus, nCells)
+    val nRows = corpusRows(corpus, nCells)
+    val cells = autoCells(nRows, nCells)
     // ONE corpus sample pass trains both quantizers (coarse on the full
     // sample, PQ on its 4096-prefix — identical to fitPqCodebooks'
     // default, since both samples order by the same hash)
@@ -721,8 +734,8 @@ object IvfIndex {
 
     val qEmb = corpus.select($"vec_id".as("query_id"),
       $"embedding".cast("array<double>").as("q_emb"))
-    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val cands = ivfCandidates(spark, probeKeys(spark, corpus, cents, nProbe),
+    val parts = PairSweep.sweepParts(spark, nRows)
+    val cands = ivfCandidates(spark, probeKeys(spark, corpus, cents, nProbe, nRows * nProbe),
       cellCap, Some(codes))
 
     // join the query embedding AFTER the candidate exchange, with both
