@@ -187,13 +187,19 @@ object FusedDetectors {
     // the materializing job doubles as the key-volume measurement for
     // the sweep's exchange width: minhash contributes `bands` keys/doc,
     // simhash `blocks × 17` (each 16-bit block + its 16 one-bit flips),
-    // substring `size(anchors)` — exact, not an estimate, for one extra
-    // aggregated column over the same cache-filling scan
-    val keyRow = sigs0
-      .agg(count(lit(1)),
-        if (withSubstring) coalesce(sum(size(col("anchors"))), lit(0L)) else lit(0L))
-      .head()
-    val nKeys = keyRow.getLong(0) * (cfg.bands + cfg.simhashBlocks * 17L) + keyRow.getLong(1)
+    // substring `size(anchors)`. The measurement rides the cache-fill
+    // count as an observe() metric — exactly one pass over the
+    // signature table (a separate agg action re-scanned the cache in a
+    // second 128-task stage, measured in the stage profile).
+    val (nDocs, anchorKeys) =
+      if (!withSubstring) (sigs0.count(), 0L)
+      else {
+        val obs = org.apache.spark.sql.Observation()
+        val n = sigs0.observe(obs,
+          coalesce(sum(size(col("anchors"))), lit(0L)).as("anchor_keys")).count()
+        (n, obs.get("anchor_keys").asInstanceOf[Long])
+      }
+    val nKeys = nDocs * (cfg.bands + cfg.simhashBlocks * 17L) + anchorKeys
     // plan boundary over the materialized cache: the consumer branches
     // below embed `sigs`' logical tree, and AQE's concurrent leaf
     // materialization can plan a branch against the not-yet-registered

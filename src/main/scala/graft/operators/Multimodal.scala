@@ -233,9 +233,16 @@ object Multimodal {
     * safety) as turn dedup. */
   def dedupMedia(spark: SparkSession, feats: Dataset[MediaFeatures]): DataFrame = {
     import spark.implicits._
-    val canon = feats.toDF.groupBy($"content_fp_hi", $"content_fp_lo")
-      .agg(min($"media_id").as("rep_media_id"), count(lit(1)).as("n_refs"))
-    feats.toDF.join(canon, Seq("content_fp_hi", "content_fp_lo"))
+    // canonical member + reference count as window aggregates over the
+    // fingerprint partition (the ExactDedup.dedupTurns shape): the
+    // payload-free projection happens BEFORE the exchange and the
+    // groupBy + join-back pair collapses to ONE exchange + WindowExec.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"content_fp_hi", $"content_fp_lo")
+    feats.toDF
+      .select($"media_id", $"kind", $"content_fp_hi", $"content_fp_lo")
+      .withColumn("rep_media_id", min($"media_id").over(w))
+      .withColumn("n_refs", count(lit(1)).over(w))
       .select($"media_id", $"kind", $"content_fp_hi", $"content_fp_lo", $"rep_media_id",
         ($"media_id" === $"rep_media_id").as("is_unique"), $"n_refs")
   }

@@ -54,7 +54,8 @@ object QualityModel {
       idCol: String,
       textCol: String,
       weights: DataFrame,
-      biasX10000: Long): DataFrame = {
+      biasX10000: Long,
+      broadcastCapBytes: Long = 256L << 20): DataFrame = {
     require(weights.columns.contains("term") && weights.columns.contains("weight_x10000"),
       "quality model weights need columns (term, weight_x10000)")
 
@@ -67,10 +68,19 @@ object QualityModel {
       explode(when(length(collapsed) === 0, array().cast("array<string>"))
         .otherwise(split(collapsed, " "))).as("term"))
 
-    // broadcast vocab join: unknown terms weigh 0; partial agg folds
-    // each map task's tokens to one (id, sum, n) before the exchange
+    // vocab join: unknown terms weigh 0; partial agg folds each map
+    // task's tokens to one (id, sum, n) before the exchange. The
+    // broadcast hint is SIZE-GATED (guide §3.1: a few hundred MB is
+    // fine, multiple GB risks the driver and the 8 GB broadcast cap):
+    // vocabularies above `broadcastCapBytes` (plan-stats estimate) fall
+    // back to a shuffle join — identical rows either way, only the
+    // join strategy changes.
+    val w = weights.select(col("term"), col("weight_x10000"))
+    val wBytes = w.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+    val wSide = if (wBytes <= BigInt(broadcastCapBytes)) broadcast(w) else w
     val summed = toks
-      .join(broadcast(weights.select(col("term"), col("weight_x10000"))), Seq("term"), "left")
+      .join(wSide, Seq("term"), "left")
       .groupBy(col(idCol))
       .agg(
         sum(coalesce(col("weight_x10000"), lit(0L))).as("w_sum"),

@@ -24,6 +24,12 @@ import org.apache.spark.sql.functions._
   */
 object TopFraction {
 
+  /** Histogram-cardinality cap: 2^20 (score, count) pairs ≈ 16 MB on
+    * the driver — far above any sane fixed-point score range (a ×10000
+    * logit has a few 100k distinct values) and far below driver-OOM
+    * territory. */
+  val MaxHistRows: Int = 1 << 20
+
   /** @param keepPermille target keep fraction in 1/1000ths, in [1, 1000].
     * @return rows of `df` with score ≥ the computed cut. */
   def keep(
@@ -44,14 +50,25 @@ object TopFraction {
         s"topFraction: score column '$scoreCol' must be integral fixed-point, got $dt")
     }
     val sc = col(scoreCol)
-    // driver-sized histogram: (distinct score, count) — ONE pass.
+    // driver-sized histogram: (distinct score, count) — ONE pass. The
+    // collect is BOUNDED: limit(MaxHistRows + 1) caps what can ever
+    // reach the driver inside the same job, and one extra row proves a
+    // contract violation (a caller feeding raw byte lengths / token
+    // counts over a huge corpus) — fail fast with the fix spelled out
+    // instead of an unbounded driver array (guide §5: the driver does
+    // no data work).
     // NULL scores are excluded up front: they can never satisfy the
     // final `score >= cut` predicate anyway, and a null-keyed histogram
     // group would NPE the driver-side decode below.
-    val hist = df.filter(sc.isNotNull)
+    val histRaw = df.filter(sc.isNotNull)
       .groupBy(sc.cast("long").as("s")).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(-_._1)
+      .limit(MaxHistRows + 1)
+      .collect()
+    require(histRaw.length <= MaxHistRows,
+      s"topFraction: score column '$scoreCol' has more than $MaxHistRows distinct values — " +
+        "not a driver-sized fixed-point score. Bucket it first (e.g. floor(score/k)*k) " +
+        "or rescale to a bounded fixed-point range.")
+    val hist = histRaw.map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
     if (hist.isEmpty) return df.filter(sc.isNotNull) // empty or all-NULL input
     val total = hist.map(_._2).sum
     val target = math.max(1L, (keepPermille * total + 999L) / 1000L)

@@ -136,6 +136,31 @@ class TrainingMixSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("TopFraction.keep: over-cardinality score column fails fast with the contract message") {
+    import spark.implicits._
+    // MaxHistRows + 2 distinct scores — a raw-id "score" nobody bucketed
+    val df = spark.range(TopFraction.MaxHistRows + 2L)
+      .select($"id".as("doc_id"), $"id".as("score"))
+    val e = intercept[IllegalArgumentException] {
+      TopFraction.keep(spark, df, "score", 500)
+    }
+    assert(e.getMessage.contains("distinct values"), e.getMessage)
+  }
+
+  test("QualityModel.score: broadcast and shuffle join paths produce identical scores") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "good good bad"), (2L, "bad"), (3L, "novel words"), (4L, "")
+    ).toDF("doc_id", "text")
+    val weights = Seq(("good", 5L), ("bad", -7L)).toDF("term", "weight_x10000")
+    def run(cap: Long) =
+      QualityModel.score(spark, docs, "doc_id", "text", weights, 2L, broadcastCapBytes = cap)
+        .select($"doc_id", $"n_tokens", $"logit_x10000", $"keep")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    // cap 0 forces the shuffle-join fallback; the default broadcasts
+    assert(run(0L) == run(256L << 20))
+  }
+
   test("Curate.report with a model gate: schema gains model_ok, keep = axes AND model") {
     import spark.implicits._
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
