@@ -107,13 +107,25 @@ object FusedDetectors {
     // Expressions are kept IDENTICAL per tag (same jaccard call, same
     // 1 - hd/64 arithmetic), so the row multiset matches the old
     // per-branch union exactly.
-    val withSigs = cands
-      .join(sigs.select(col("conv_id").as("doc_a"),
-        col("sig").as("sig_a"), col("simhash").as("sh_a")), Seq("doc_a"))
-      .join(sigs.select(col("conv_id").as("doc_b"),
-        col("sig").as("sig_b"), col("simhash").as("sh_b")), Seq("doc_b"))
+    //
+    // The sig attachments are CONDITIONAL left joins (match only for
+    // the tags that verify): substring candidates ride the same pass
+    // but pick up NULL instead of the ~1 KB signature payload, so a
+    // substring-heavy corpus never ships minhash signatures through the
+    // doc_b exchange for rows whose decision is already made. For
+    // mh/sh rows the left joins are inner-equivalent — every candidate
+    // id has exactly one signature row by construction.
     val isMh = col("k3") === MinHashTag
     val isSh = col("k3") === SimHashTag
+    val needsSig = isMh || isSh
+    val sigsA = sigs.select(col("conv_id").as("sa_id"),
+      col("sig").as("sig_a"), col("simhash").as("sh_a"))
+    val sigsB = sigs.select(col("conv_id").as("sb_id"),
+      col("sig").as("sig_b"), col("simhash").as("sh_b"))
+    val withSigs = cands
+      .join(sigsA, col("doc_a") === col("sa_id") && needsSig, "left")
+      .join(sigsB, col("doc_b") === col("sb_id") && needsSig, "left")
+      .drop("sa_id", "sb_id")
     withSigs
       .withColumn("score",
         when(isMh, call_function("graft_sig_jaccard", col("sig_a"), col("sig_b"))))
